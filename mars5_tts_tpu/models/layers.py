@@ -1,0 +1,80 @@
+"""torch-``nn.Transformer``-compatible encoder/decoder stacks with SwiGLU FFN.
+
+MARS5 builds its speaker encoders and the NAR encoder-decoder out of torch
+``nn.TransformerEncoderLayer`` / ``nn.TransformerDecoderLayer`` with ``norm_first=True``,
+``layer_norm_eps=4e-5``, and a monkeypatched SwiGLU feed-forward: ``linear1`` is
+replaced by Identity and ``activation`` by ``FNNSwiGLU`` (silu(x·Wᵀ) * x·Vᵀ), leaving
+the down-projection in the host layer's ``linear2``
+(reference: mars5/model.py:61-67,179-229; mars5/nn_future.py:13-29).
+
+Residual order reproduced exactly (torch norm_first):
+    encoder:  x += self_attn(norm1(x)); x += ff(norm2(x))
+    decoder:  x += self_attn(norm1(x)); x += cross_attn(norm2(x), mem); x += ff(norm3(x))
+with a final stack-level LayerNorm.
+
+Layer parameters are stacked along a leading axis and the stack runs under
+``lax.scan`` — one compiled block regardless of depth, and a natural target for
+tensor-parallel sharding annotations on the stacked axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import linear, torch_mha
+from ..ops.norms import layer_norm
+
+LAYERNORM_EPS = 4e-5
+
+
+def swiglu_ff(p, x):
+    """linear2(silu(x·Wᵀ) * x·Vᵀ) — the monkeypatched torch FFN block."""
+    gate = jax.nn.silu(linear(x, p["W"]))
+    return linear(gate * linear(x, p["V"]), p["lin2_w"], p["lin2_b"])
+
+
+def encoder_layer(p, x, nhead: int, key_padding_mask=None):
+    h = layer_norm(x, p["norm1_w"], p["norm1_b"], LAYERNORM_EPS)
+    x = x + torch_mha(
+        {"in_proj_w": p["sa_in_w"], "in_proj_b": p["sa_in_b"],
+         "out_w": p["sa_out_w"], "out_b": p["sa_out_b"]},
+        h, h, nhead, key_padding_mask)
+    h = layer_norm(x, p["norm2_w"], p["norm2_b"], LAYERNORM_EPS)
+    return x + swiglu_ff(p, h)
+
+
+def decoder_layer(p, x, memory, nhead: int, tgt_key_padding_mask=None,
+                  memory_key_padding_mask=None):
+    h = layer_norm(x, p["norm1_w"], p["norm1_b"], LAYERNORM_EPS)
+    x = x + torch_mha(
+        {"in_proj_w": p["sa_in_w"], "in_proj_b": p["sa_in_b"],
+         "out_w": p["sa_out_w"], "out_b": p["sa_out_b"]},
+        h, h, nhead, tgt_key_padding_mask)
+    h = layer_norm(x, p["norm2_w"], p["norm2_b"], LAYERNORM_EPS)
+    x = x + torch_mha(
+        {"in_proj_w": p["ca_in_w"], "in_proj_b": p["ca_in_b"],
+         "out_w": p["ca_out_w"], "out_b": p["ca_out_b"]},
+        h, memory, nhead, memory_key_padding_mask)
+    h = layer_norm(x, p["norm3_w"], p["norm3_b"], LAYERNORM_EPS)
+    return x + swiglu_ff(p, h)
+
+
+def encoder_stack(p, x, nhead: int, key_padding_mask=None):
+    """Run stacked encoder layers (params stacked on axis 0) + final LayerNorm."""
+
+    def step(h, layer_p):
+        return encoder_layer(layer_p, h, nhead, key_padding_mask), None
+
+    x, _ = jax.lax.scan(step, x, p["layers"])
+    return layer_norm(x, p["norm_w"], p["norm_b"], LAYERNORM_EPS)
+
+
+def decoder_stack(p, x, memory, nhead: int, tgt_key_padding_mask=None,
+                  memory_key_padding_mask=None):
+    def step(h, layer_p):
+        return decoder_layer(layer_p, h, memory, nhead,
+                             tgt_key_padding_mask, memory_key_padding_mask), None
+
+    x, _ = jax.lax.scan(step, x, p["layers"])
+    return layer_norm(x, p["norm_w"], p["norm_b"], LAYERNORM_EPS)

@@ -1,0 +1,202 @@
+"""ResidualTransformer — the ~450M-parameter NAR multinomial-diffusion denoiser.
+
+An encoder-decoder transformer (8 encoder / 16 decoder layers, dim 1024, 16 heads,
+SwiGLU FFN 3072) that, given BPE text, a speaker embedding distilled from the full
+8-codebook reference codes, a diffusion timestep, and the noisy 8-codebook grid x_t,
+predicts per-position per-codebook logits over the 1025 classes of x_0.
+
+Behavioral contract follows the reference ``ResidualTransformer``
+(mars5/model.py:163-343):
+* CFG conditioning drop zeroes the speaker-code length (and pads the codes),
+* encoder input  = [speaker vector] ++ text embeddings, sinusoidal pos-emb after
+  the concat, plus the encoder timestep MLP embedding,
+* decoder input  = chunked embedding of x_t + pos-emb + decoder timestep MLP,
+* output = 8 independent LayerNorm(eps=1e-5)→Linear heads.
+
+Deviation (internal only): we return logits as (bs, L, 8, 1025) — class axis last —
+which is what the diffusion engine consumes; the reference returns (bs, L, 1025, 8)
+and permutes at the call site (mars5/diffuser.py:358-359).
+
+TPU-first: layers stacked + scanned; CFG cond/uncond run as one batched forward
+(batch 2B) in the sampler rather than two sequential calls.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import linear
+from ..ops.embeddings import add_sine_pe, chunked_embed, timestep_embedding
+from ..ops.norms import layer_norm
+from ..utils.masks import length_to_mask
+from .layers import decoder_stack, encoder_stack
+
+
+@dataclass(frozen=True)
+class ResidualTransformerConfig:
+    n_text_vocab: int
+    n_quant: int = 1025             # classes per codebook (1024 + pad)
+    dim: int = 1024
+    nhead: int = 16
+    enc_layers: int = 8
+    dec_layers: int = 16
+    n_spk_layers: int = 3
+    c_quant_levels: int = 8
+    pred_quant_levels: int = 8
+    t_emb_dim: int = 1024
+    hidden_dim: int = 3072          # int(1024 * 4 * 3/4)
+
+    @classmethod
+    def mars5(cls, n_text_vocab: int) -> "ResidualTransformerConfig":
+        return cls(n_text_vocab=n_text_vocab)
+
+    @classmethod
+    def tiny(cls, n_text_vocab: int = 32, n_quant: int = 1025) -> "ResidualTransformerConfig":
+        """Matches ``ResidualTransformer(n_text_vocab, n_quant, dim=64, nhead=4,
+        enc_layers=2, dec_layers=2, n_spk_layers=2, t_emb_dim=64)`` in the reference
+        (dim_ff = int(dim*3) = 192). n_quant stays 1025 because the CFG cond-drop
+        pad value 1024 is hardcoded in the reference (mars5/model.py:296)."""
+        return cls(n_text_vocab=n_text_vocab, n_quant=n_quant, dim=64, nhead=4,
+                   enc_layers=2, dec_layers=2, n_spk_layers=2, t_emb_dim=64,
+                   hidden_dim=192)
+
+
+def nar_spk_embedding(p, cfg: ResidualTransformerConfig, c_codes, c_codes_length):
+    """Speaker embedding from reference codes (mars5/model.py:245-261,298-311)."""
+    bs, sl = c_codes.shape[0], c_codes.shape[1]
+    seq = chunked_embed(p["ref_embedder"], c_codes)
+    ident = jnp.broadcast_to(p["spk_identity_emb"][None], (bs, 1, seq.shape[-1])).astype(seq.dtype)
+    seq = jnp.concatenate([ident, seq], axis=1)
+    seq = add_sine_pe(seq, p["ref_pos_alpha"])
+    pad = length_to_mask(c_codes_length + 1, jnp.zeros_like(c_codes_length), sl + 1)
+    out = encoder_stack(p["spk_encoder"], seq, nhead=cfg.nhead, key_padding_mask=pad)
+    return out[:, 0]
+
+
+def nar_forward(p, cfg: ResidualTransformerConfig, c_text, c_codes, c_texts_length,
+                c_codes_length, x, x_padding_mask, t, drop_cond=None):
+    """Denoiser forward.
+
+    Args:
+        c_text: (bs, Lt) BPE text ids (padded).
+        c_codes: (bs, Lc, 8) reference codec codes (padded with 1024).
+        c_texts_length / c_codes_length: (bs,) true lengths.
+        x: (bs, Lx, 8) noisy codes x_t.
+        x_padding_mask: (bs, Lx) bool, True = padded.
+        t: (bs,) diffusion timesteps.
+        drop_cond: optional (bs,) bool — classifier-free-guidance conditioning drop.
+
+    Returns:
+        (bs, Lx, 8, n_quant) logits for x_0.
+    """
+    text_emb = p["text_embed"][c_text]
+
+    if drop_cond is not None:
+        c_codes_length = jnp.where(drop_cond, 0, c_codes_length)
+        c_codes = jnp.where(drop_cond[:, None, None], cfg.n_quant - 1, c_codes)
+
+    spk = nar_spk_embedding(p, cfg, c_codes, c_codes_length)  # (bs, dim)
+
+    t_emb = timestep_embedding(t, cfg.t_emb_dim, dtype=text_emb.dtype)
+    t_enc = linear(jax.nn.silu(linear(t_emb, p["t_enc_mlp"]["w0"], p["t_enc_mlp"]["b0"])),
+                   p["t_enc_mlp"]["w1"], p["t_enc_mlp"]["b1"])
+    t_dec = linear(jax.nn.silu(linear(t_emb, p["t_dec_mlp"]["w0"], p["t_dec_mlp"]["b0"])),
+                   p["t_dec_mlp"]["w1"], p["t_dec_mlp"]["b1"])
+
+    # encoder stream: [spk] ++ text, pos-emb after concat, + timestep embedding.
+    # The reference's per-sample unpad/concat/re-pad (model.py:319-329) is equivalent
+    # to this fixed concat because the speaker segment always has length 1.
+    c = jnp.concatenate([spk[:, None].astype(text_emb.dtype), text_emb], axis=1)
+    c_lengths = c_texts_length + 1
+    c_padding = length_to_mask(c_lengths, jnp.zeros_like(c_lengths), c.shape[1])
+    c = add_sine_pe(c, p["cond_pos_alpha"])
+    c = c + t_enc[:, None]
+
+    # decoder stream
+    h = chunked_embed(p["residual_encoder"], x)
+    h = add_sine_pe(h, p["pos_alpha"])
+    h = h + t_dec[:, None]
+
+    memory = encoder_stack(p["encoder"], c, nhead=cfg.nhead, key_padding_mask=c_padding)
+    out = decoder_stack(p["decoder"], h, memory, nhead=cfg.nhead,
+                        tgt_key_padding_mask=x_padding_mask,
+                        memory_key_padding_mask=c_padding)
+
+    # 8 heads: LayerNorm(eps=1e-5, torch default) -> Linear(dim -> n_quant)
+    rd = p["residual_decoder"]
+
+    def head(i):
+        hn = layer_norm(out, rd["ln_w"][i], rd["ln_b"][i], eps=1e-5)
+        return linear(hn, rd["lin_w"][i], rd["lin_b"][i])
+
+    logits = jnp.stack([head(i) for i in range(cfg.pred_quant_levels)], axis=2)
+    return logits  # (bs, Lx, n_q, n_quant)
+
+
+# ----------------------------------------------------------------------------
+# initialization (tests / training); checkpoints load through convert.py
+
+def init_nar(key, cfg: ResidualTransformerConfig, dtype=jnp.float32):
+    import numpy as np
+
+    keys = iter(jax.random.split(key, 400))
+    d, f = cfg.dim, cfg.hidden_dim
+
+    def dense(out_d, in_d):
+        scale = 1.0 / np.sqrt(in_d)
+        return jax.random.uniform(next(keys), (out_d, in_d), jnp.float32, -scale, scale).astype(dtype)
+
+    def enc_layer():
+        return {
+            "sa_in_w": dense(3 * d, d), "sa_in_b": jnp.zeros((3 * d,), dtype),
+            "sa_out_w": dense(d, d), "sa_out_b": jnp.zeros((d,), dtype),
+            "W": dense(f, d), "V": dense(f, d),
+            "lin2_w": dense(d, f), "lin2_b": jnp.zeros((d,), dtype),
+            "norm1_w": jnp.ones((d,), dtype), "norm1_b": jnp.zeros((d,), dtype),
+            "norm2_w": jnp.ones((d,), dtype), "norm2_b": jnp.zeros((d,), dtype),
+        }
+
+    def dec_layer():
+        layer = enc_layer()
+        layer.update({
+            "ca_in_w": dense(3 * d, d), "ca_in_b": jnp.zeros((3 * d,), dtype),
+            "ca_out_w": dense(d, d), "ca_out_b": jnp.zeros((d,), dtype),
+            "norm3_w": jnp.ones((d,), dtype), "norm3_b": jnp.zeros((d,), dtype),
+        })
+        return layer
+
+    def stack(mk, n):
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *[mk() for _ in range(n)])
+
+    emb = lambda n, dd: jax.random.normal(next(keys), (n, dd), jnp.float32).astype(dtype)
+
+    return {
+        "text_embed": emb(cfg.n_text_vocab, d),
+        "cond_pos_alpha": jnp.ones((1,), dtype),
+        "pos_alpha": jnp.ones((1,), dtype),
+        "ref_pos_alpha": jnp.ones((1,), dtype),
+        "encoder": {"layers": stack(enc_layer, cfg.enc_layers),
+                    "norm_w": jnp.ones((d,), dtype), "norm_b": jnp.zeros((d,), dtype)},
+        "decoder": {"layers": stack(dec_layer, cfg.dec_layers),
+                    "norm_w": jnp.ones((d,), dtype), "norm_b": jnp.zeros((d,), dtype)},
+        "t_enc_mlp": {"w0": dense(d, cfg.t_emb_dim), "b0": jnp.zeros((d,), dtype),
+                      "w1": dense(d, d), "b1": jnp.zeros((d,), dtype)},
+        "t_dec_mlp": {"w0": dense(d, cfg.t_emb_dim), "b0": jnp.zeros((d,), dtype),
+                      "w1": dense(d, d), "b1": jnp.zeros((d,), dtype)},
+        "ref_embedder": emb(cfg.c_quant_levels * cfg.n_quant, d // cfg.c_quant_levels).reshape(
+            cfg.c_quant_levels, cfg.n_quant, d // cfg.c_quant_levels),
+        "spk_identity_emb": emb(1, d),
+        "spk_encoder": {"layers": stack(enc_layer, cfg.n_spk_layers),
+                        "norm_w": jnp.ones((d,), dtype), "norm_b": jnp.zeros((d,), dtype)},
+        "residual_encoder": emb(cfg.c_quant_levels * cfg.n_quant, d // cfg.c_quant_levels).reshape(
+            cfg.c_quant_levels, cfg.n_quant, d // cfg.c_quant_levels),
+        "residual_decoder": {
+            "ln_w": jnp.ones((cfg.pred_quant_levels, d), dtype),
+            "ln_b": jnp.zeros((cfg.pred_quant_levels, d), dtype),
+            "lin_w": jnp.stack([dense(cfg.n_quant, d) for _ in range(cfg.pred_quant_levels)]),
+            "lin_b": jnp.zeros((cfg.pred_quant_levels, cfg.n_quant), dtype),
+        },
+    }

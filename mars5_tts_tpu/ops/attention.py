@@ -1,0 +1,90 @@
+"""Attention primitives: torch-MultiheadAttention-compatible MHA and banded causal SDPA.
+
+Weight layout convention for the whole framework: linear kernels are stored in the
+torch ``(out_features, in_features)`` layout and applied with a contracting
+``dot_general`` — XLA folds the implied transpose into the matmul, so this costs
+nothing on the MXU and makes checkpoint conversion a pure rename.
+
+Softmax always runs in fp32 (TPU best practice; also bit-matches the fp32 parity
+tests against the torch reference).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+def linear(x, w, b=None):
+    """y = x @ w.T (+ b), with w in torch (out, in) layout."""
+    y = jax.lax.dot_general(
+        x, w,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=x.dtype if x.dtype == jnp.float32 else jnp.float32,
+    ).astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def sdpa(q, k, v, mask=None):
+    """Scaled dot-product attention.
+
+    Args:
+        q: (B, Lq, H, Dh); k/v: (B, Lk, H, Dh).
+        mask: optional additive mask broadcastable to (B, H, Lq, Lk) (0 = keep,
+            -inf = drop), or a bool mask (True = keep).
+    Returns:
+        (B, Lq, H, Dh) in q.dtype.
+    """
+    dh = q.shape[-1]
+    scale = 1.0 / (dh ** 0.5)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        if mask.dtype == jnp.bool_:
+            logits = jnp.where(mask, logits, NEG_INF)
+        else:
+            logits = logits + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def torch_mha(p, q_in, kv_in, nhead: int, key_padding_mask=None):
+    """torch ``nn.MultiheadAttention`` forward (batch_first, self- or cross-attention).
+
+    Args:
+        p: dict with ``in_proj_w`` (3D, D), ``in_proj_b`` (3D,), ``out_w`` (D, D),
+           ``out_b`` (D,).
+        q_in: (B, Lq, D) queries; kv_in: (B, Lk, D) keys/values source.
+        key_padding_mask: optional (B, Lk) bool, True = IGNORE (torch convention).
+    """
+    d = q_in.shape[-1]
+    wq, wk, wv = p["in_proj_w"][:d], p["in_proj_w"][d:2 * d], p["in_proj_w"][2 * d:]
+    bq, bk, bv = p["in_proj_b"][:d], p["in_proj_b"][d:2 * d], p["in_proj_b"][2 * d:]
+    b, lq = q_in.shape[:2]
+    lk = kv_in.shape[1]
+    q = linear(q_in, wq, bq).reshape(b, lq, nhead, d // nhead)
+    k = linear(kv_in, wk, bk).reshape(b, lk, nhead, d // nhead)
+    v = linear(kv_in, wv, bv).reshape(b, lk, nhead, d // nhead)
+    mask = None
+    if key_padding_mask is not None:
+        mask = ~key_padding_mask[:, None, None, :]  # True = keep
+    out = sdpa(q, k, v, mask)
+    return linear(out.reshape(b, lq, d), p["out_w"], p["out_b"])
+
+
+def banded_causal_mask(length: int, window: int, dtype=jnp.float32):
+    """Additive (L, L) mask: position i attends to j in [i - window, i].
+
+    Matches the reference's ``log(triu(tril(ones), -window))``
+    (mars5/nn_future.py:380-392).
+    """
+    i = jnp.arange(length)[:, None]
+    j = jnp.arange(length)[None, :]
+    allowed = (j <= i) & (j >= i - window)
+    return jnp.where(allowed, 0.0, NEG_INF).astype(dtype)
