@@ -1,0 +1,139 @@
+"""Logit processors and categorical sampling, as pure fp32 JAX functions.
+
+Faithful TPU-native re-implementations of the reference logit pipeline
+(mars5/samplers.py): OpenAI-style frequency/presence penalty, early-EOS penalty,
+top-k/top-p filtering, and typical sampling — all shaped (bs, vocab) and usable
+inside jit/while_loop (no data-dependent shapes).
+
+Sampling contract: the reference draws through ``torch.multinomial`` /
+``torch.rand_like`` whose RNG mapping cannot be replicated; this framework defines
+the seed→sample mapping as inverse-CDF (AR) and Gumbel-max (diffusion) over an
+injectable uniform stream. Parity tests drive both frameworks with the same
+uniforms (see SURVEY.md §7 "Hard parts").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+def freq_presence_penalty(logits, counts, alpha_frequency: float, alpha_presence: float):
+    """``logits - counts*α_freq - (counts>0)*α_presence`` (mars5/samplers.py:20-36).
+
+    ``counts`` is the per-vocab occurrence count over the penalty window, maintained
+    incrementally by the decode loop (the reference recounts with ``unique`` each
+    step; same result).
+    """
+    c = counts.astype(logits.dtype)
+    return logits - c * alpha_frequency - (c > 0).astype(logits.dtype) * alpha_presence
+
+
+def early_eos_penalty(logits, n_generated, estimated_gen_length, decay: float,
+                      factor: float, eos_index: int):
+    """Subtract ``factor * max(est - n, 1)**decay`` from the EOS logit while
+    ``n_generated <= estimated_gen_length`` (mars5/samplers.py:39-56).
+
+    ``n_generated`` may be a traced scalar.
+    """
+    penalty = jnp.maximum(estimated_gen_length - n_generated, 1).astype(logits.dtype)
+    modifier = factor * penalty ** decay
+    apply = n_generated <= estimated_gen_length
+    eos_col = logits[:, eos_index] - jnp.where(apply, modifier, 0.0)
+    return logits.at[:, eos_index].set(eos_col)
+
+
+def mask_vocab_window(logits, valid_start: int, valid_end: int):
+    """-inf outside ``[valid_start - 1, valid_end)``.
+
+    Reproduces the reference's exact (quirky) slicing
+    ``logits[..., :valid_start-1] = -inf; logits[..., valid_end:] = -inf``
+    (mars5/ar_generate.py:82-83) — index ``valid_start - 1`` stays allowed.
+    """
+    v = logits.shape[-1]
+    idx = jnp.arange(v)
+    keep = (idx >= valid_start - 1) & (idx < valid_end)
+    return jnp.where(keep[None, :], logits, NEG_INF)
+
+
+def top_k_top_p_filter(logits, top_k: int = 0, top_p: float = 1.0, min_tokens: int = 1):
+    """Top-k then nucleus filtering (mars5/samplers.py:61-93).
+
+    top_k/top_p are static (trace-time) hyperparameters. Ties with the k-th value
+    survive (strict ``<`` comparison, as in the reference).
+    """
+    v = logits.shape[-1]
+    if top_k > 0:
+        k = min(max(top_k, min_tokens), v)
+        kth = jax.lax.top_k(logits, k)[0][..., -1:]
+        logits = jnp.where(logits < kth, NEG_INF, logits)
+
+    if top_p < 1.0:
+        sorted_idx = jnp.argsort(-logits, axis=-1)  # descending, stable
+        sorted_logits = jnp.take_along_axis(logits, sorted_idx, axis=-1)
+        cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+        remove = cum > top_p
+        if min_tokens > 1:
+            remove = remove.at[..., :min_tokens].set(False)
+        # shift right: keep the first token above the threshold
+        remove = jnp.concatenate(
+            [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1)
+        bs_idx = jnp.arange(logits.shape[0])[:, None]
+        remove_orig = jnp.zeros_like(remove).at[bs_idx, sorted_idx].set(remove)
+        logits = jnp.where(remove_orig, NEG_INF, logits)
+    return logits
+
+
+def apply_typical_p(logits, mass: float):
+    """Typical sampling (arXiv 2202.00666; mars5/samplers.py:96-122).
+
+    No-op when ``mass > 0.999`` (static). Input may contain -inf entries.
+    """
+    if mass > 0.999:
+        return logits
+    normalized = jax.nn.log_softmax(logits, axis=-1)
+    p = jnp.exp(normalized)
+    prod = jnp.where(jnp.isneginf(normalized), 0.0, normalized * p)  # nansum semantics
+    ent = -jnp.sum(prod, axis=-1, keepdims=True)
+    shifted = jnp.abs(-normalized - ent)  # +inf for -inf logits
+    order = jnp.argsort(shifted, axis=-1)  # ascending, stable
+    sorted_scores = jnp.take_along_axis(shifted, order, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    last_ind = jnp.sum(cum < mass, axis=-1, keepdims=True)  # (bs, 1)
+    threshold = jnp.take_along_axis(sorted_scores, last_ind, axis=-1)
+    remove_sorted = sorted_scores > threshold
+    bs_idx = jnp.arange(logits.shape[0])[:, None]
+    remove = jnp.zeros_like(remove_sorted).at[bs_idx, order].set(remove_sorted)
+    return jnp.where(remove, NEG_INF, logits)
+
+
+def sample_from_logprobs(logprobs, u):
+    """Inverse-CDF categorical draw.
+
+    Args:
+        logprobs: (bs, V) normalized log-probabilities (may contain -inf).
+        u: (bs,) uniforms in [0, 1).
+    Returns:
+        (bs,) int32 sampled indices.
+    """
+    probs = jnp.exp(logprobs)
+    cdf = jnp.cumsum(probs, axis=-1)
+    total = cdf[..., -1:]
+    r = u[..., None] * total
+    return jnp.sum(cdf <= r, axis=-1).astype(jnp.int32)
+
+
+MIN_LOG_ARG = 1e-7  # matches reference diffuser clamp (mars5/diffuser.py:18)
+
+
+def gumbel_argmax(logprobs, uniform, axis: int = -1):
+    """Gumbel-max categorical sampling given explicit uniforms.
+
+    Matches reference ``log_sample_categorical`` (mars5/diffuser.py:219-228):
+    ``argmax(-log(-log(clamp(u))) + logprobs)`` with the MIN_LOG_ARG clamps.
+    """
+    g = -jnp.log(jnp.clip(-jnp.log(jnp.clip(uniform, min=MIN_LOG_ARG)), min=MIN_LOG_ARG))
+    return jnp.argmax(g + logprobs, axis=axis).astype(jnp.int32)
