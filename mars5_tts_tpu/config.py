@@ -67,7 +67,7 @@ class InferenceConfig:
     ref_audio_pad: float = 0
 
 
-@dataclass
+@dataclass(frozen=True)
 class DSH:
     """Diffusion Sampling Hyperparameters (reference: mars5/diffuser.py:302-315)."""
 

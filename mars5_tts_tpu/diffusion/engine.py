@@ -1,0 +1,192 @@
+"""NAR diffusion inference engine: RePaint-style inpainting as one jitted scan.
+
+TPU-native redesign of the reference driver (mars5/diffuser.py:336-472). The
+reference runs a Python loop of T (default 200) steps, each calling the NAR model
+once (twice under classifier-free guidance). Here the whole trajectory compiles to
+a single ``lax.scan`` over a host-precomputed static step plan; CFG runs cond and
+uncond in ONE batched forward (batch 2B) instead of two sequential calls, filling
+the MXU instead of doubling latency.
+
+Step semantics (RePaint Eq. 8a/8b/8c, reference reverse_diffusion/forward_diffusion):
+* reverse (denoise): model predicts x̂0 logits -> CFG combine -> x_0_temp ->
+  q_posterior -> Gumbel-max sample (argmax at t=0 if last_greedy) -> composite the
+  known region (forward-noised x_known) through mask m.
+* forward (re-noise, only when RePaint resampling is on): one q(x_t|x_{t-1}) draw,
+  optionally with the sequentially-progressive ("kevin-scaled") sigmoid front.
+* L0 lane re-pinned to the AR codes while ``t_last > q0_override_steps``.
+
+The reference's ensemble mixing block (diffuser.py:373-378) is the identity at
+ensemble_size=1 — the only size the public API exposes — and is omitted.
+
+Randomness: Gumbel uniforms come from a threaded PRNG key, or from an injected
+``uniforms`` array of shape (n_steps, 2, *x.shape, K) for the cross-framework
+parity harness (index 0: unknown-region draw; index 1: known-region draw).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DSH
+from ..models.nar import ResidualTransformerConfig, nar_forward
+from .multinomial import MultinomialDiffusion, index_to_log_onehot
+from .schedule import build_step_plan
+
+
+@functools.partial(jax.jit, static_argnames=("nar_cfg", "dsh", "retain_quant0",
+                                              "use_key", "honor_last_greedy"))
+def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
+                    diff_tables, c_text, c_codes, c_texts_length, c_codes_length,
+                    x0_seed, x_known, m, x_padding_mask, x_quant0,
+                    t_lasts, is_reverse, cs, uniforms, key,
+                    retain_quant0: bool = True, use_key: bool = True,
+                    honor_last_greedy: bool = False):
+    bs = c_text.shape[0]
+    num_classes = nar_cfg.n_quant
+    diff = diff_tables  # a MultinomialDiffusion (static tables are jnp constants)
+
+    w = dsh.guidance_w
+    cfg_batched = w != 1
+    if cfg_batched:
+        c_text2 = jnp.concatenate([c_text, c_text], 0)
+        c_codes2 = jnp.concatenate([c_codes, c_codes], 0)
+        ctl2 = jnp.concatenate([c_texts_length, c_texts_length], 0)
+        ccl2 = jnp.concatenate([c_codes_length, c_codes_length], 0)
+        xpm2 = jnp.concatenate([x_padding_mask, x_padding_mask], 0)
+        drop2 = jnp.concatenate([jnp.zeros((bs,), bool), jnp.ones((bs,), bool)], 0)
+
+    def model_x0(x, t):
+        if cfg_batched:
+            out = nar_forward(nar_params, nar_cfg, c_text2, c_codes2, ctl2, ccl2,
+                              jnp.concatenate([x, x], 0), xpm2,
+                              jnp.concatenate([t, t], 0), drop_cond=drop2)
+            cond, uncond = out[:bs], out[bs:]
+            return w * cond + (1.0 - w) * uncond
+        return nar_forward(nar_params, nar_cfg, c_text, c_codes, c_texts_length,
+                           c_codes_length, x, x_padding_mask, t)
+
+    log_x_known = index_to_log_onehot(x_known, num_classes)
+    m_i = m.astype(jnp.int32)
+
+    def step(carry, inp):
+        x = carry
+        i, t_last, is_rev, c = inp
+        t = jnp.full((bs,), t_last, jnp.int32)
+
+        if use_key:
+            shape = x.shape + (num_classes,)
+            u0 = jax.random.uniform(jax.random.fold_in(key, 2 * i), shape)
+            u1 = jax.random.uniform(jax.random.fold_in(key, 2 * i + 1), shape)
+        else:
+            u0, u1 = uniforms[i, 0], uniforms[i, 1]
+
+        def reverse(x):
+            x0_logits = model_x0(x, t).astype(jnp.float32)
+            log_x0 = jax.nn.log_softmax(x0_logits / dsh.x_0_temp, axis=-1)
+            log_xt = index_to_log_onehot(x, num_classes)
+            log_pred = diff.p_pred(log_xt, t, log_x0)
+            unknown = diff.log_sample_categorical(log_pred, u0)
+            # NOTE: the reference driver never forwards dsh.last_greedy to
+            # reverse_diffusion (diffuser.py:461 omits the kwarg), so despite
+            # inference.py passing last_greedy=True it always samples at t=0.
+            # We replicate that; honor_last_greedy=True enables the documented
+            # (but dead) argmax-at-t0 behavior.
+            if dsh.last_greedy and honor_last_greedy:
+                greedy = jnp.argmax(log_pred, axis=-1).astype(jnp.int32)
+                unknown = jnp.where(t_last == 0, greedy, unknown)
+            known_sample = diff.q_sample(log_x_known, t, u1)
+            known = jnp.where(t_last == 0, x_known, known_sample)
+            return known * m_i + unknown * (1 - m_i)
+
+        def forward(x):
+            log_xt = index_to_log_onehot(x, num_classes)
+            if dsh.enable_kevin_scaled_inference:
+                probs = diff.q_pred_one_timestep_scaled(log_xt, t, c, dsh.jump_len)
+            else:
+                probs = diff.q_pred_one_timestep(log_xt, t)
+            return diff.log_sample_categorical(probs, u0)
+
+        x = jax.lax.cond(is_rev, reverse, forward, x)
+        if retain_quant0:
+            x = jnp.where(t_last > dsh.q0_override_steps,
+                          x.at[..., 0].set(x_quant0), x)
+        return x, None
+
+    n_steps = t_lasts.shape[0]
+    xs = (jnp.arange(n_steps), t_lasts, is_reverse, cs)
+    x_final, _ = jax.lax.scan(step, x0_seed, xs)
+    return x_final
+
+
+def perform_simple_inference(nar_params, nar_cfg: ResidualTransformerConfig,
+                             batch, diff: MultinomialDiffusion, T: int,
+                             dsh: DSH = DSH(), retain_quant0: bool = True,
+                             key=None, uniforms=None, x_init=None):
+    """Run the full NAR inpainting trajectory (host wrapper).
+
+    Args:
+        batch: (c_text (1,Lt), c_codes (1,Lc,8), c_texts_length, c_codes_length,
+                x (1,Lx,8) with L0 = AR codes, x_padding_mask (1,Lx)).
+        diff: schedule holder (num_classes must equal nar_cfg.n_quant).
+        T: number of timesteps (schedule built for T).
+        key: jax PRNG key for sampling (ignored if ``uniforms`` given).
+        uniforms: optional (n_steps, 2, 1, L_total, 8, K) parity-harness stream.
+        x_init: optional (1, Lx, 8) initial noise grid (parity harness); otherwise
+            drawn uniform over classes from ``key``.
+
+    Returns:
+        (1, Lx, 8) int32 token grid (deep-clone prompt frames cropped).
+    """
+    c_text, c_codes, c_texts_length, c_codes_length, x, x_padding_mask = [
+        jnp.asarray(v) for v in batch]
+    bs = c_text.shape[0]
+    assert bs == 1, "diffusion inference currently assumes bs=1 (as the reference)"
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    key_init, key_steps = jax.random.split(key)
+
+    x_quant0 = x[..., 0]
+    if x_init is None:
+        x_init = jax.random.randint(key_init, x.shape, 0, diff.num_classes, jnp.int32)
+    else:
+        x_init = jnp.asarray(x_init, jnp.int32)
+    x = x_init.at[..., 0].set(x_quant0)
+
+    x_known = jnp.zeros_like(x).at[..., 0].set(x[..., 0])
+    m = jnp.zeros(x.shape, bool).at[..., 0].set(True)
+
+    offset = 0
+    if dsh.deep_clone:
+        lc = int(c_codes_length[0])
+        assert c_codes.shape[1] == lc, (
+            "deep clone assumes no padded indices in c_codes (as the reference)")
+        prompt = c_codes.astype(jnp.int32)
+        x = jnp.concatenate([prompt, x], axis=1)
+        x_known = jnp.concatenate([prompt, x_known], axis=1)
+        x_padding_mask = jnp.concatenate(
+            [jnp.zeros((bs, lc), bool), x_padding_mask], axis=-1)
+        m = jnp.concatenate([jnp.ones(prompt.shape, bool), m], axis=1)
+        x_quant0 = jnp.concatenate([prompt[..., 0], x_quant0], axis=-1)
+        offset = lc
+
+    t_lasts, is_reverse, cs = build_step_plan(T, dsh.jump_len, dsh.jump_n_sample)
+
+    use_key = uniforms is None
+    if use_key:
+        uniforms = jnp.zeros((1,), jnp.float32)  # placeholder, untraced branch
+    else:
+        uniforms = jnp.asarray(uniforms, jnp.float32)
+
+    x_final = _diffusion_scan(
+        nar_params, nar_cfg, dsh, diff, c_text, c_codes, c_texts_length,
+        c_codes_length, x, x_known, m, x_padding_mask, x_quant0,
+        jnp.asarray(t_lasts), jnp.asarray(is_reverse), jnp.asarray(cs),
+        uniforms, key_steps, retain_quant0=retain_quant0, use_key=use_key)
+
+    return x_final[:, offset:]

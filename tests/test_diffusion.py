@@ -1,0 +1,197 @@
+"""Diffusion parity: schedule math, transitions, and the full RePaint trajectory."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import add_reference_to_path, reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available(), reason="reference repo not mounted")
+
+
+@pytest.fixture(scope="module")
+def ref_diffuser():
+    add_reference_to_path()
+    import mars5.diffuser as d
+    return d
+
+
+def test_schedule_tables_parity(ref_diffuser):
+    from mars5_tts_tpu.diffusion import MultinomialDiffusion
+
+    ref = ref_diffuser.MultinomialDiffusion(1025, timesteps=200)
+    ours = MultinomialDiffusion(1025, timesteps=200)
+    for name in ["log_alpha", "log_1_min_alpha", "log_cumprod_alpha",
+                 "log_1_min_cumprod_alpha"]:
+        np.testing.assert_allclose(np.asarray(getattr(ours, name)),
+                                   getattr(ref, name).numpy(), atol=1e-6, err_msg=name)
+
+
+@pytest.mark.parametrize("jl,jns", [(1, 1), (10, 10), (3, 2)])
+def test_get_schedule_parity(ref_diffuser, jl, jns):
+    from mars5_tts_tpu.diffusion import get_schedule
+
+    assert get_schedule(200, jl, jns) == ref_diffuser.get_schedule(200, jl, jns)
+
+
+def test_transitions_parity(ref_diffuser):
+    import torch
+    import jax.numpy as jnp
+    from mars5_tts_tpu.diffusion import MultinomialDiffusion, index_to_log_onehot
+
+    K, T = 17, 20
+    ref = ref_diffuser.MultinomialDiffusion(K, timesteps=T)
+    ours = MultinomialDiffusion(K, timesteps=T)
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, K, size=(2, 5, 3))
+    x0 = rng.integers(0, K, size=(2, 5, 3))
+    t = np.array([7, 0])
+
+    log_xt_ref = ref_diffuser.index_to_log_onehot(torch.tensor(x), K)
+    log_x0_ref = ref_diffuser.index_to_log_onehot(torch.tensor(x0), K)
+    log_xt = index_to_log_onehot(jnp.asarray(x), K)
+    log_x0 = index_to_log_onehot(jnp.asarray(x0), K)
+    np.testing.assert_allclose(np.asarray(log_xt), log_xt_ref.numpy(), atol=1e-6)
+
+    for name, rf, jf in [
+        ("q_pred_one_timestep",
+         lambda: ref.q_pred_one_timestep(log_xt_ref, torch.tensor(t)),
+         lambda: ours.q_pred_one_timestep(log_xt, jnp.asarray(t))),
+        ("q_pred",
+         lambda: ref.q_pred(log_x0_ref, torch.tensor(t)),
+         lambda: ours.q_pred(log_x0, jnp.asarray(t))),
+        ("q_posterior",
+         lambda: ref.q_posterior(log_x0_ref, log_xt_ref, torch.tensor(t)),
+         lambda: ours.q_posterior(log_x0, log_xt, jnp.asarray(t))),
+    ]:
+        np.testing.assert_allclose(np.asarray(jf()), rf().numpy(), atol=1e-5,
+                                   err_msg=name)
+
+    # training losses
+    log_pred_ref = torch.log_softmax(torch.tensor(
+        rng.standard_normal((2, 5, 3, K)).astype(np.float32)), dim=-1)
+    lt_ref = ref.compute_Lt(log_x0_ref.float(), log_xt_ref.float(), log_pred_ref,
+                            torch.tensor(t))
+    lt_ours = ours.compute_Lt(log_x0, log_xt, jnp.asarray(log_pred_ref.numpy()),
+                              jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(lt_ours), lt_ref.numpy(), atol=1e-4)
+
+
+class _RandPatches:
+    """Inject deterministic streams into torch.rand_like / torch.randint."""
+
+    def __init__(self, torch, uniform_queue, randint_value=None):
+        self.torch = torch
+        self.queue = list(uniform_queue)
+        self.randint_value = randint_value
+        self._orig_rand_like = torch.rand_like
+        self._orig_randint = torch.randint
+
+    def __enter__(self):
+        t = self.torch
+
+        def fake_rand_like(x, **kw):
+            u = self.queue.pop(0)
+            assert tuple(u.shape) == tuple(x.shape), (u.shape, x.shape)
+            return t.tensor(u)
+
+        def fake_randint(low, high, size, **kw):
+            assert self.randint_value is not None
+            assert tuple(size) == tuple(self.randint_value.shape)
+            return t.tensor(self.randint_value)
+
+        t.rand_like = fake_rand_like
+        t.randint = fake_randint
+        return self
+
+    def __exit__(self, *a):
+        self.torch.rand_like = self._orig_rand_like
+        self.torch.randint = self._orig_randint
+
+
+def _build_uniform_queue(t_lasts, is_reverse, shape, last_greedy, rng):
+    """(n_steps, 2, *shape) array + the reference's sequential pop list."""
+    n = len(t_lasts)
+    uniforms = rng.random((n, 2) + shape).astype(np.float32)
+    queue = []
+    # NOTE: the reference driver never forwards last_greedy to reverse_diffusion,
+    # so the unknown region is SAMPLED at t=0 (1 draw); the known region draws
+    # only at t != 0.
+    del last_greedy
+    for i in range(n):
+        if is_reverse[i]:
+            queue.append(uniforms[i, 0])
+            if t_lasts[i] != 0:
+                queue.append(uniforms[i, 1])
+        else:
+            queue.append(uniforms[i, 0])
+    return uniforms, queue
+
+
+@pytest.mark.parametrize("deep_clone,guidance_w,jl,jns,kevin", [
+    (False, 1.0, 1, 1, True),
+    (False, 3.0, 1, 1, True),
+    (True, 3.0, 1, 1, True),
+    (False, 1.0, 3, 2, False),   # RePaint resampling, non-kevin forward steps
+])
+def test_perform_simple_inference_parity(ref_diffuser, deep_clone, guidance_w, jl, jns, kevin):
+    import torch
+    import jax.numpy as jnp
+    import mars5.model as ref_model
+
+    from mars5_tts_tpu.config import DSH
+    from mars5_tts_tpu.diffusion import (MultinomialDiffusion, build_step_plan,
+                                         perform_simple_inference)
+    from mars5_tts_tpu.models.convert import convert_nar
+    from mars5_tts_tpu.models.nar import ResidualTransformerConfig
+
+    torch.manual_seed(11)
+    cfg = ResidualTransformerConfig.tiny(n_text_vocab=32)
+    K = cfg.n_quant
+    T = 6
+    ref_net = ref_model.ResidualTransformer(
+        n_text_vocab=32, n_quant=K, dim=cfg.dim, nhead=cfg.nhead,
+        enc_layers=cfg.enc_layers, dec_layers=cfg.dec_layers,
+        n_spk_layers=cfg.n_spk_layers, t_emb_dim=cfg.t_emb_dim,
+        p_cond_drop=0, dropout=0).eval()
+    params = convert_nar(ref_net.state_dict(), cfg)
+
+    rng = np.random.default_rng(5)
+    lt, lc, lx = 7, 5, 6
+    c_text = rng.integers(0, 32, size=(1, lt))
+    c_codes = rng.integers(0, K - 1, size=(1, lc, 8))
+    ctl = np.array([lt])
+    ccl = np.array([lc])
+    x = rng.integers(0, K - 1, size=(1, lx, 8))
+    xpm = np.zeros((1, lx), bool)
+
+    l_total = lx + (lc if deep_clone else 0)
+    t_lasts, is_rev, _ = build_step_plan(T, jl, jns)
+    last_greedy = True
+    uniforms, queue = _build_uniform_queue(
+        t_lasts, is_rev, (1, l_total, 8, K), last_greedy, rng)
+    x_init = rng.integers(0, K, size=(1, lx, 8))
+
+    dsh_ref = ref_diffuser.DSH(last_greedy=last_greedy, x_0_temp=0.7,
+                               guidance_w=guidance_w, deep_clone=deep_clone,
+                               jump_len=jl, jump_n_sample=jns, q0_override_steps=2,
+                               enable_kevin_scaled_inference=kevin, progress=False)
+    ref_diff = ref_diffuser.MultinomialDiffusion(K, timesteps=T)
+    batch_t = (torch.tensor(c_text), torch.tensor(c_codes), torch.tensor(ctl),
+               torch.tensor(ccl), torch.tensor(x), torch.tensor(xpm))
+    with _RandPatches(torch, queue, randint_value=x_init):
+        ref_out = ref_diffuser.perform_simple_inference(
+            ref_net, batch_t, ref_diff, T, torch.float32, dsh=dsh_ref,
+            retain_quant0=True)
+    ref_out = ref_out.numpy()
+
+    dsh = DSH(last_greedy=last_greedy, x_0_temp=0.7, guidance_w=guidance_w,
+              deep_clone=deep_clone, jump_len=jl, jump_n_sample=jns,
+              q0_override_steps=2, enable_kevin_scaled_inference=kevin)
+    diff = MultinomialDiffusion(K, timesteps=T)
+    ours = perform_simple_inference(
+        params, cfg, (c_text, c_codes, ctl, ccl, x, xpm), diff, T, dsh,
+        retain_quant0=True, uniforms=uniforms, x_init=x_init)
+
+    np.testing.assert_array_equal(np.asarray(ours), ref_out,
+                                  err_msg=f"deep={deep_clone} w={guidance_w} jl={jl}")
