@@ -1,0 +1,224 @@
+"""Mars5TTS — the public orchestration API (reference inference.py:79-307).
+
+Sequences the full zero-shot voice-cloning pipeline, preserving the reference's
+behavior step for step: tokenize -> Encodec-encode the reference audio ->
+speech-BPE the L0 codes -> shallow/deep prompt assembly -> AR generation ->
+AR-output parsing -> NAR multinomial-diffusion refinement -> Vocos vocode ->
+silence trim. ``InferenceConfig`` is the complete user-tunable surface.
+
+Differences from the reference (all TPU-motivated, none API-visible):
+* models are parameter pytrees + jitted functions (no nn.Module state),
+* the AR decode loop and the 200-step DDPM both run fully on-device
+  (lax.while_loop / lax.scan) with bucketed static shapes,
+* randomness is jax PRNG keys; ``seed`` is exposed on ``tts()``
+  (the reference uses torch's implicit global RNG),
+* per-stage wall-clock/RTF counters are built in (the reference's README lists
+  profiling as an open TODO).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio.trim import trim
+from .config import DSH, InferenceConfig
+from .diffusion import MultinomialDiffusion, perform_simple_inference
+from .hub import load_checkpoint, load_tokenizers
+from .models.ar import CodecLMConfig, spk_embedding
+from .models.ar_decode import ArSampling, ar_generate
+from .models.convert import convert_codeclm, convert_nar
+from .models.encodec import EncodecConfig, encodec_encode
+from .models.nar import ResidualTransformerConfig
+from .models.vocos import VocosConfig, vocos_vocode
+from .utils.profiling import StageTimer
+
+
+class Mars5TTS:
+    """TTS pipeline: AR codec LM + NAR diffusion refiner + Encodec/Vocos codecs."""
+
+    def __init__(self, ar_ckpt: dict, nar_ckpt: dict, *,
+                 encodec_params=None, vocos_params=None,
+                 ar_cfg: Optional[CodecLMConfig] = None,
+                 nar_cfg: Optional[ResidualTransformerConfig] = None,
+                 encodec_cfg: EncodecConfig = EncodecConfig(),
+                 vocos_cfg: VocosConfig = VocosConfig()):
+        # tokenizers are embedded in the checkpoint vocab metadata
+        self.texttok, self.speechtok = load_tokenizers(ar_ckpt)
+
+        self.n_vocab = len(self.texttok.vocab) + len(self.speechtok.vocab)
+        self.n_text_vocab = len(self.texttok.vocab) + 1
+        self.diffusion_n_classes = 1025  # 1024 codes + pad
+
+        self.ar_cfg = ar_cfg or CodecLMConfig.mars5(self.n_vocab)
+        self.nar_cfg = nar_cfg or ResidualTransformerConfig.mars5(self.n_text_vocab)
+        self.codeclm = jax.tree.map(jnp.asarray, convert_codeclm(ar_ckpt["model"], self.ar_cfg))
+        self.codecnar = jax.tree.map(jnp.asarray, convert_nar(nar_ckpt["model"], self.nar_cfg))
+
+        self.encodec_cfg = encodec_cfg
+        self.vocos_cfg = vocos_cfg
+        self.encodec = jax.tree.map(jnp.asarray, encodec_params) if encodec_params else None
+        self.vocos = jax.tree.map(jnp.asarray, vocos_params) if vocos_params else None
+
+        self.default_T = 200
+        self.sr = 24000
+        self.latent_sr = 75
+        self.last_timing: dict = {}
+
+    @classmethod
+    def from_local(cls, ar_path, nar_path, **kwargs) -> "Mars5TTS":
+        """Build from local .safetensors/.pt checkpoints (reference layout)."""
+        return cls(load_checkpoint(ar_path), load_checkpoint(nar_path), **kwargs)
+
+    # ------------------------------------------------------------------ codecs
+    def _require_codec(self):
+        if self.encodec is None:
+            raise RuntimeError("Encodec encoder parameters were not provided")
+
+    def _require_vocoder(self):
+        if self.vocos is None:
+            raise RuntimeError("Vocos vocoder parameters were not provided")
+
+    def encode_reference(self, ref_audio: np.ndarray):
+        """(T,) or (ch, T) 24 kHz audio -> (1, n_q, frames) codec codes."""
+        self._require_codec()
+        audio = np.asarray(ref_audio, np.float32)
+        if audio.ndim == 1:
+            audio = audio[None]
+        if audio.shape[0] != 1:
+            audio = audio.mean(axis=0, keepdims=True)
+        return encodec_encode(self.encodec, self.encodec_cfg, jnp.asarray(audio)[None])
+
+    def vocode(self, tokens) -> np.ndarray:
+        """(seq_len, n_q) token grid -> (T,) audio. Uses bandwidth_id=1 — the
+        reference's deliberate 3 kbps smoothing trick on 6 kbps tokens
+        (inference.py:160-172)."""
+        self._require_vocoder()
+        audio = vocos_vocode(self.vocos, self.vocos_cfg, jnp.asarray(tokens),
+                             bandwidth_id=1)
+        return np.asarray(audio)
+
+    def get_speaker_embedding(self, ref_audio) -> np.ndarray:
+        """(T,) or (bs, T) audio -> (bs, dim) implicit speaker embedding
+        (reference inference.py:174-199)."""
+        codes = self.encode_reference(ref_audio)          # (1, n_q, S)
+        codes = jnp.transpose(codes, (0, 2, 1))           # (1, S, n_q)
+        return np.asarray(spk_embedding(self.codeclm, self.ar_cfg, codes))
+
+    # --------------------------------------------------------------------- tts
+    def tts(self, text: str, ref_audio, ref_transcript: Optional[str] = None,
+            cfg: Optional[InferenceConfig] = None, seed: int = 0):
+        """Synthesize ``text`` in the voice of ``ref_audio``.
+
+        Returns ``(ar_codes (seq_len,) int L0 ids, waveform (T,) float 24 kHz)``,
+        as the reference does (inference.py:201-307).
+        """
+        cfg = cfg or InferenceConfig()
+        timer = StageTimer()
+
+        if cfg.deep_clone and ref_transcript is None:
+            raise AssertionError(
+                "Inference config deep clone is set to true, but reference "
+                "transcript not specified! Please specify the transcript of the "
+                "prompt, or set deep_clone=False in the inference `cfg` argument.")
+        ref_audio = np.asarray(ref_audio, np.float32)
+        ref_dur = ref_audio.shape[-1] / self.sr
+        if ref_dur > cfg.max_prompt_dur:
+            logging.warning(
+                "Reference audio duration is %.2f > max suggested ref audio. "
+                "Expect quality degradations.", ref_dur)
+
+        with timer.stage("tokenize_text"):
+            text_tokens = self.texttok.encode(
+                "<|startoftext|>" + text.strip() + "<|endoftext|>", allowed_special="all")
+            # NOTE: computed unconditionally, so shallow clone with
+            # ref_transcript=None raises TypeError — exactly as the reference
+            # (inference.py:226); pass ref_transcript="" for shallow clone.
+            text_tokens_full = self.texttok.encode(
+                "<|startoftext|>" + ref_transcript + " " + str(text).strip() + "<|endoftext|>",
+                allowed_special="all")
+
+        with timer.stage("encode_reference"):
+            if ref_audio.ndim == 1:
+                ref_audio = ref_audio[None]
+            if ref_audio.shape[0] != 1:
+                ref_audio = ref_audio.mean(axis=0, keepdims=True)
+            ref_audio = np.pad(ref_audio, ((0, 0), (int(self.sr * cfg.ref_audio_pad), 0)))
+            prompt_codec = np.asarray(self.encode_reference(ref_audio[0]))  # (1, n_q, S)
+
+        with timer.stage("tokenize_speech"):
+            n_speech_inp = 0
+            q0_str = " ".join(str(t) for t in prompt_codec[0, 0].tolist())
+            # no <eos> here — the AR continues this sequence (inference.py:238)
+            speech_tokens = self.speechtok.encode(q0_str.strip())
+            spk_ref_codec = prompt_codec[0].T  # (S, n_q)
+
+            raw_prompt_acoustic_len = prompt_codec.shape[-1]
+            offset_speech_codes = [p + len(self.texttok.vocab) for p in speech_tokens]
+            if not cfg.deep_clone:
+                offset_speech_codes = offset_speech_codes[:n_speech_inp]
+            else:
+                text_tokens = text_tokens_full
+                n_speech_inp = len(offset_speech_codes)
+            prompt = np.asarray(text_tokens + offset_speech_codes, np.int64)
+            first_codec_idx = prompt.shape[-1] - n_speech_inp + 1
+
+        with timer.stage("ar_generate"):
+            max_len = cfg.generate_max_len_override if cfg.generate_max_len_override > 1 else 2000
+            sampling = ArSampling(
+                temperature=cfg.temperature, top_k=cfg.top_k, top_p=cfg.top_p,
+                typical_p=cfg.typical_p, alpha_frequency=cfg.freq_penalty,
+                alpha_presence=cfg.presence_penalty,
+                penalty_window=cfg.rep_penalty_window,
+                eos_penalty_decay=cfg.eos_penalty_decay,
+                eos_penalty_factor=cfg.eos_penalty_factor,
+                n_phones_gen=round(cfg.eos_estimated_gen_length_factor * len(text)),
+                eos_idx=len(self.texttok.vocab) + self.speechtok.special_tokens["<|endofspeech|>"],
+                valid_start=len(self.texttok.vocab),
+                valid_end=len(self.texttok.vocab) + len(self.speechtok.vocab) + 1,
+                max_len=max_len)
+            ar_codes, _ = ar_generate(self.codeclm, self.ar_cfg, prompt,
+                                      spk_ref_codec, sampling=sampling, seed=seed)
+
+        with timer.stage("parse_ar"):
+            output_tokens = np.clip(ar_codes - len(self.texttok.vocab), 0, None)
+            output_tokens = output_tokens[first_codec_idx:].tolist()
+            gen_codes_decoded = self.speechtok.decode_int(output_tokens)
+            gen_codes_decoded = np.asarray(
+                [s for s in gen_codes_decoded if isinstance(s, int)], np.int64)
+
+        with timer.stage("nar_diffusion"):
+            c_text = np.asarray(text_tokens, np.int64)[None]
+            c_codes = prompt_codec.transpose(0, 2, 1)  # (1, S, n_q)
+            c_texts_lengths = np.asarray([len(text_tokens)], np.int64)
+            c_codes_lengths = np.asarray([c_codes.shape[1]], np.int64)
+            _x = np.repeat(gen_codes_decoded[None, :, None], 8, axis=2)
+            x_padding_mask = np.zeros((1, _x.shape[1]), bool)
+
+            diff = MultinomialDiffusion(self.diffusion_n_classes, timesteps=self.default_T)
+            dsh = DSH(last_greedy=True, x_0_temp=cfg.x_0_temp,
+                      guidance_w=cfg.nar_guidance_w, deep_clone=cfg.deep_clone,
+                      jump_len=1, jump_n_sample=1,
+                      q0_override_steps=cfg.q0_override_steps,
+                      enable_kevin_scaled_inference=True, progress=False)
+            final_output = perform_simple_inference(
+                self.codecnar, self.nar_cfg,
+                (c_text, c_codes, c_texts_lengths, c_codes_lengths, _x, x_padding_mask),
+                diff, diff.num_timesteps, dsh, retain_quant0=True,
+                key=jax.random.PRNGKey(seed + 1))
+
+            skip_front = raw_prompt_acoustic_len if cfg.deep_clone else 0
+            final_output = np.asarray(final_output)[0, skip_front:]
+
+        with timer.stage("vocode"):
+            final_audio = self.vocode(final_output)
+
+        with timer.stage("trim"):
+            final_audio, _ = trim(final_audio, top_db=cfg.trim_db)
+
+        self.last_timing = timer.report(audio_seconds=len(final_audio) / self.sr)
+        return gen_codes_decoded, final_audio

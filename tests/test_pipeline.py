@@ -1,0 +1,84 @@
+"""End-to-end Mars5TTS.tts() on the tiny fixture checkpoint (BASELINE config #1/#2 shape)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available(), reason="fixture builds tiny torch models from the reference")
+
+
+@pytest.fixture(scope="module")
+def tiny_mars5(tmp_path_factory):
+    from tests.fixtures import make_tiny_mars5
+
+    mars5, info = make_tiny_mars5(str(tmp_path_factory.mktemp("ckpt")))
+    mars5.default_T = 8  # keep the DDPM short for CI
+    return mars5, info
+
+
+def _ref_audio(n=800):
+    t = np.arange(n) / 24000
+    return (0.4 * np.sin(2 * np.pi * 180 * t)).astype(np.float32)
+
+
+def test_tts_shallow_clone(tiny_mars5):
+    from mars5_tts_tpu import InferenceConfig
+
+    mars5, _ = tiny_mars5
+    cfg = InferenceConfig(deep_clone=False, generate_max_len_override=160,
+                          timesteps=8, trim_db=200)  # trim_db huge -> keep audio
+    ar_codes, audio = mars5.tts("hi", _ref_audio(), ref_transcript="", cfg=cfg, seed=0)
+    assert ar_codes.ndim == 1 and len(ar_codes) > 0
+    assert (ar_codes >= 0).all() and (ar_codes < 1024).all()
+    assert audio.ndim == 1 and len(audio) > 0 and np.isfinite(audio).all()
+    # timing counters populated
+    assert set(mars5.last_timing["stages_s"]) >= {
+        "tokenize_text", "encode_reference", "ar_generate", "nar_diffusion", "vocode"}
+
+
+def test_tts_deep_clone(tiny_mars5):
+    from mars5_tts_tpu import InferenceConfig
+
+    mars5, _ = tiny_mars5
+    cfg = InferenceConfig(deep_clone=True, generate_max_len_override=260,
+                          timesteps=8, trim_db=200)
+    ar_codes, audio = mars5.tts("ok", _ref_audio(), ref_transcript="a b", cfg=cfg, seed=1)
+    assert len(ar_codes) >= 0
+    assert np.isfinite(audio).all()
+
+
+def test_tts_deep_clone_requires_transcript(tiny_mars5):
+    from mars5_tts_tpu import InferenceConfig
+
+    mars5, _ = tiny_mars5
+    with pytest.raises(AssertionError, match="deep clone"):
+        mars5.tts("x", _ref_audio(), ref_transcript=None,
+                  cfg=InferenceConfig(deep_clone=True))
+
+
+def test_tts_determinism(tiny_mars5):
+    from mars5_tts_tpu import InferenceConfig
+
+    mars5, _ = tiny_mars5
+    cfg = InferenceConfig(deep_clone=False, generate_max_len_override=120,
+                          timesteps=8, trim_db=200)
+    a1, w1 = mars5.tts("yo", _ref_audio(), ref_transcript="", cfg=cfg, seed=3)
+    a2, w2 = mars5.tts("yo", _ref_audio(), ref_transcript="", cfg=cfg, seed=3)
+    assert a1.tolist() == a2.tolist()
+    np.testing.assert_array_equal(w1, w2)
+
+
+def test_get_speaker_embedding(tiny_mars5):
+    mars5, _ = tiny_mars5
+    emb = mars5.get_speaker_embedding(_ref_audio())
+    assert emb.shape == (1, mars5.ar_cfg.dim)
+    assert np.isfinite(emb).all()
+
+
+def test_vocode_ar_codes_debug_path(tiny_mars5):
+    """The demo notebook's `vocode(ar_codes[:, None])`-style call (tiled L0)."""
+    mars5, _ = tiny_mars5
+    codes = np.random.default_rng(0).integers(0, 1024, size=(12, 8))
+    audio = mars5.vocode(codes)
+    assert audio.shape == (12 * mars5.vocos_cfg.hop_length,)
