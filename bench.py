@@ -1,0 +1,142 @@
+"""Benchmark: p50 RTF for a 10 s deep-clone synthesis on one TPU chip.
+
+Runs the full inference pipeline at released-model geometry with random bf16
+weights — 6 s reference Encodec encode, deep-clone AR decode of 750 L0 frames
+(26-layer / dim-1536 CodecLM, KV-cached while_loop), 200-step CFG-batched NAR
+diffusion over the 8-codebook grid (seq = 450 prompt + 750 gen frames), and
+Vocos vocoding — and reports the median over BENCH_RUNS timed runs after one
+warmup (compile) run.
+
+Prints exactly ONE JSON line:
+  {"metric": "p50_rtf_10s_deep_clone", "value": <rtf>, "unit": "s/s",
+   "vs_baseline": <0.25 / rtf>}   # >1.0 means beating the 0.25 RTF target
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BENCH_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+TARGET_RTF = 0.25
+AUDIO_SECONDS = 10.0
+REF_SECONDS = 6.0
+
+
+def build():
+    from mars5_tts_tpu.models.ar import CodecLMConfig, init_codeclm
+    from mars5_tts_tpu.models.encodec import EncodecConfig, init_encodec
+    from mars5_tts_tpu.models.nar import ResidualTransformerConfig, init_nar
+    from mars5_tts_tpu.models.vocos import VocosConfig, init_vocos
+
+    key = jax.random.PRNGKey(0)
+    n_vocab = 24_000  # ~750M-param AR geometry incl. embed/output
+    ar_cfg = CodecLMConfig.mars5(n_vocab)
+    nar_cfg = ResidualTransformerConfig.mars5(n_text_vocab=4_096)
+    enc_cfg = EncodecConfig.mars5()
+    voc_cfg = VocosConfig.mars5()
+
+    ar = init_codeclm(key, ar_cfg, dtype=jnp.bfloat16)
+    nar = init_nar(jax.random.fold_in(key, 1), nar_cfg, dtype=jnp.bfloat16)
+    enc = init_encodec(jax.random.fold_in(key, 2), enc_cfg)
+    voc = init_vocos(jax.random.fold_in(key, 3), voc_cfg)
+    return (ar_cfg, nar_cfg, enc_cfg, voc_cfg), (ar, nar, enc, voc)
+
+
+def run_once(cfgs, params, seed=0, timings=None):
+    from mars5_tts_tpu.config import DSH
+    from mars5_tts_tpu.diffusion import MultinomialDiffusion, perform_simple_inference
+    from mars5_tts_tpu.models.ar_decode import ArSampling, ar_generate
+    from mars5_tts_tpu.models.encodec import encodec_encode
+    from mars5_tts_tpu.models.vocos import vocos_vocode
+    from mars5_tts_tpu.utils.profiling import StageTimer
+
+    ar_cfg, nar_cfg, enc_cfg, voc_cfg = cfgs
+    ar, nar, enc, voc = params
+    timer = StageTimer()
+    rng = np.random.default_rng(seed)
+
+    ref_audio = (rng.standard_normal(int(REF_SECONDS * 24000)) * 0.1).astype(np.float32)
+    with timer.stage("encodec_encode"):
+        prompt_codec = encodec_encode(enc, enc_cfg, jnp.asarray(ref_audio)[None, None])
+        prompt_codec = np.asarray(jax.block_until_ready(prompt_codec))  # (1, 8, 450)
+    n_prompt_frames = prompt_codec.shape[-1]
+
+    gen_frames = int(AUDIO_SECONDS * 75)  # 750
+    n_text, n_speech_vocab = 4_096, 24_000 - 4_096
+
+    # deep-clone prompt: text tokens + offset L0 codes (unBPE'd worst case)
+    text_len = 60
+    prompt = np.concatenate([
+        rng.integers(0, n_text, text_len),
+        prompt_codec[0, 0] + n_text]).astype(np.int64)
+    max_len = len(prompt) + gen_frames
+    sampling = ArSampling(
+        temperature=0.7, top_k=200, top_p=0.2, typical_p=1.0,
+        alpha_frequency=3.0, alpha_presence=0.4, penalty_window=80,
+        eos_penalty_decay=0.5, eos_penalty_factor=1.0,
+        n_phones_gen=10_000,  # never under-estimate
+        eos_idx=0,            # outside the valid window -> decode runs to max_len
+        valid_start=n_text, valid_end=n_text + n_speech_vocab + 1,
+        max_len=max_len)
+    with timer.stage("ar_decode"):
+        tokens, n_gen = ar_generate(ar, ar_cfg, prompt, prompt_codec[0].T,
+                                    sampling=sampling, seed=seed)
+    assert n_gen == gen_frames, f"AR generated {n_gen} != {gen_frames}"
+
+    l0 = (tokens[len(prompt):] - n_text).clip(0, 1023)
+    with timer.stage("nar_diffusion"):
+        c_text = rng.integers(0, n_text, (1, text_len))
+        c_codes = prompt_codec.transpose(0, 2, 1)
+        _x = np.repeat(l0[None, :, None], 8, axis=2)
+        xpm = np.zeros((1, _x.shape[1]), bool)
+        diff = MultinomialDiffusion(1025, timesteps=200)
+        dsh = DSH(last_greedy=True, x_0_temp=0.7, guidance_w=3.0, deep_clone=True,
+                  jump_len=1, jump_n_sample=1, q0_override_steps=20,
+                  enable_kevin_scaled_inference=True)
+        grid = perform_simple_inference(
+            nar, nar_cfg, (c_text, c_codes, np.asarray([text_len]),
+                           np.asarray([n_prompt_frames]), _x, xpm),
+            diff, 200, dsh, key=jax.random.PRNGKey(seed))
+        grid = jax.block_until_ready(grid)[:, :]
+
+    with timer.stage("vocode"):
+        audio = vocos_vocode(voc, voc_cfg, jnp.asarray(grid[0]), bandwidth_id=1)
+        audio = jax.block_until_ready(audio)
+
+    if timings is not None:
+        timings.append(timer.stages)
+    return timer.total
+
+
+def main():
+    cfgs, params = build()
+    # warmup / compile
+    run_once(cfgs, params, seed=0)
+    timings = []
+    totals = [run_once(cfgs, params, seed=i + 1, timings=timings)
+              for i in range(BENCH_RUNS)]
+    p50 = float(np.median(totals))
+    rtf = p50 / AUDIO_SECONDS
+    stages_p50 = {k: float(np.median([t[k] for t in timings])) for k in timings[0]}
+    print(json.dumps({
+        "metric": "p50_rtf_10s_deep_clone",
+        "value": round(rtf, 4),
+        "unit": "s/s",
+        "vs_baseline": round(TARGET_RTF / rtf, 4),
+        "detail": {"p50_total_s": round(p50, 3),
+                   "stages_s": {k: round(v, 3) for k, v in stages_p50.items()},
+                   "device": str(jax.devices()[0])},
+    }))
+
+
+if __name__ == "__main__":
+    main()
