@@ -45,6 +45,9 @@ def build():
     voc_cfg = VocosConfig.mars5()
 
     ar = init_codeclm(key, ar_cfg, dtype=jnp.bfloat16)
+    if os.environ.get("BENCH_INT8") == "1":
+        from mars5_tts_tpu.ops.quant import quantize_codeclm
+        ar = quantize_codeclm(ar)
     nar = init_nar(jax.random.fold_in(key, 1), nar_cfg, dtype=jnp.bfloat16)
     enc = init_encodec(jax.random.fold_in(key, 2), enc_cfg)
     voc = init_vocos(jax.random.fold_in(key, 3), voc_cfg)
@@ -67,7 +70,9 @@ def run_once(cfgs, params, seed=0, timings=None):
     ref_audio = (rng.standard_normal(int(REF_SECONDS * 24000)) * 0.1).astype(np.float32)
     with timer.stage("encodec_encode"):
         prompt_codec = encodec_encode(enc, enc_cfg, jnp.asarray(ref_audio)[None, None])
-        prompt_codec = np.asarray(jax.block_until_ready(prompt_codec))  # (1, 8, 450)
+        # NOTE: block_until_ready does not actually sync on the axon backend;
+        # a host transfer does, so every stage ends with np.asarray.
+        prompt_codec = np.asarray(prompt_codec)  # (1, 8, 450)
     n_prompt_frames = prompt_codec.shape[-1]
 
     gen_frames = int(AUDIO_SECONDS * 75)  # 750
@@ -105,12 +110,12 @@ def run_once(cfgs, params, seed=0, timings=None):
         grid = perform_simple_inference(
             nar, nar_cfg, (c_text, c_codes, np.asarray([text_len]),
                            np.asarray([n_prompt_frames]), _x, xpm),
-            diff, 200, dsh, key=jax.random.PRNGKey(seed))
-        grid = jax.block_until_ready(grid)[:, :]
+            diff, 200, dsh, key=jax.random.key(seed, impl="rbg"))
+        grid = np.asarray(grid)
 
     with timer.stage("vocode"):
         audio = vocos_vocode(voc, voc_cfg, jnp.asarray(grid[0]), bandwidth_id=1)
-        audio = jax.block_until_ready(audio)
+        audio = np.asarray(audio)
 
     if timings is not None:
         timings.append(timer.stages)

@@ -23,10 +23,11 @@ from dataclasses import dataclass, field
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import banded_causal_mask, linear, sdpa
+from ..ops.attention import banded_causal_mask, sdpa
+from ..ops.quant import linear_any as linear
 from ..ops.embeddings import add_sine_pe, chunked_embed
 from ..ops.norms import rms_norm
-from ..ops.rope import apply_rope, rope_angles
+from ..ops.rope import apply_rope_halfsplit, rope_angles
 from ..utils.masks import construct_padding_mask
 from .layers import encoder_stack
 
@@ -72,8 +73,8 @@ def mistral_block(p, x, cos, sin, mask, cfg: CodecLMConfig):
     q = linear(h, p["wq"]).reshape(b, l, cfg.n_heads, cfg.head_dim)
     k = linear(h, p["wk"]).reshape(b, l, cfg.n_kv_heads, cfg.head_dim)
     v = linear(h, p["wv"]).reshape(b, l, cfg.n_kv_heads, cfg.head_dim)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    q = apply_rope_halfsplit(q, cos, sin)
+    k = apply_rope_halfsplit(k, cos, sin)
     attn = sdpa(q, k, v, mask)
     x = x + linear(attn.reshape(b, l, cfg.n_heads * cfg.head_dim), p["wo"])
     h = rms_norm(x, p["ffn_norm"], cfg.norm_eps)

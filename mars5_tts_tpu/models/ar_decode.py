@@ -1,15 +1,17 @@
 """AR decode engine: KV-cached autoregressive generation as one jitted program.
 
 TPU-native redesign of the reference decode loop (mars5/ar_generate.py:15-165).
-The reference runs a Python while-loop calling the model per token; here the whole
-generation — prefill, ring-buffer KV cache, per-step logit pipeline (frequency/
-presence penalty over a sliding window, vocab masking, early-EOS penalty,
-temperature, top-k/top-p, typical-p), inverse-CDF sampling, and EOS early-exit —
-compiles to a single ``lax.while_loop`` with static shapes. Python re-enters only
-to read the result.
+The reference runs a Python while-loop calling the model per token at batch size 1
+(hard-asserted); here the whole generation — prefill, ring-buffer KV cache,
+per-step logit pipeline (frequency/presence penalty over a sliding window, vocab
+masking, early-EOS penalty, temperature, top-k/top-p, typical-p), inverse-CDF
+sampling, and per-sequence EOS early-exit — compiles to a single
+``lax.while_loop`` with static shapes, and is NATIVELY BATCHED: each row carries
+its own prompt length, cursor, penalty counts, and done flag (the bucketed-batch
+serving path, BASELINE config #3).
 
 Cache layout: (n_layers, bs, window, n_kv_heads, head_dim) ring buffer written at
-``position % window``. For a current position p, the ring slot s holds position
+``position % window`` per row. For a row at position p, ring slot s holds position
 ``p - ((p - s) mod window)``; slots with negative values (not yet written, or
 prefill padding junk ahead of the cursor) are masked out. Within the window this
 reproduces the reference's rotating cache exactly; past the window it implements
@@ -17,26 +19,27 @@ the *correct* sliding-window semantics (the reference's unrotated read,
 mars5/nn_future.py:258-259, is only valid below the window — SURVEY.md §2.4).
 
 Sequence convention (matches CodecLM): position 0 is the speaker embedding, token
-i sits at position i + 1. ``cur`` counts tokens, so the next token is decoded at
-position ``cur``, reading the token at index ``cur - 1``.
+i sits at position i + 1; a row with ``cur`` tokens decodes its next token at
+position ``cur``.
 """
 
 from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import linear
+from ..ops.quant import linear_any as linear
 from ..ops.norms import rms_norm
-from ..ops.rope import apply_rope, rope_angles
+from ..ops.rope import apply_rope_halfsplit, rope_angles
 from ..ops.sampling import (apply_typical_p, early_eos_penalty,
-                            freq_presence_penalty, mask_vocab_window,
-                            sample_from_logprobs, top_k_top_p_filter)
+                            filter_topk_subset, freq_presence_penalty,
+                            mask_vocab_window, sample_from_logprobs,
+                            top_k_top_p_filter)
 from .ar import CodecLMConfig, codeclm_prefill, spk_embedding
 
 
@@ -63,26 +66,26 @@ class ArSampling:
 
 class DecodeState(NamedTuple):
     tokens: jax.Array      # (bs, max_len) int32 token buffer (prompt + generated)
-    cur: jax.Array         # () int32 — number of tokens currently in the sequence
-    n_gen: jax.Array       # () int32 — number of generated tokens
+    cur: jax.Array         # (bs,) int32 — tokens currently in each sequence
+    n_gen: jax.Array       # (bs,) int32 — generated tokens per sequence
     cache_k: jax.Array     # (L, bs, W, H, D)
     cache_v: jax.Array
     counts: jax.Array      # (bs, V) int32 — occurrence counts in penalty window
-    uniforms: jax.Array    # (max_steps,) uniforms for inverse-CDF sampling
-    done: jax.Array        # () bool
+    uniforms: jax.Array    # (max_len, bs) uniforms for inverse-CDF sampling
+    done: jax.Array        # (bs,) bool
 
 
 def _decode_attention(q, ck, cv, pos, window):
     """Single-token attention against the ring cache.
 
-    q: (bs, H, D); ck/cv: (bs, W, H, D); pos: current absolute position.
+    q: (bs, H, D); ck/cv: (bs, W, H, D); pos: (bs,) per-row absolute positions.
     """
     scale = 1.0 / (q.shape[-1] ** 0.5)
     logits = jnp.einsum("bhd,bwhd->bhw", q, ck, preferred_element_type=jnp.float32) * scale
-    slots = jnp.arange(window)
-    slot_pos = pos - jnp.mod(pos - slots, window)
-    valid = slot_pos >= 0
-    logits = jnp.where(valid[None, None, :], logits, float("-inf"))
+    slots = jnp.arange(window)[None, :]
+    slot_pos = pos[:, None] - jnp.mod(pos[:, None] - slots, window)
+    valid = slot_pos >= 0  # (bs, W)
+    logits = jnp.where(valid[:, None, :], logits, float("-inf"))
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     out = jnp.einsum("bhw,bwhd->bhd", probs.astype(q.dtype), cv,
                      preferred_element_type=jnp.float32)
@@ -92,50 +95,86 @@ def _decode_attention(q, ck, cv, pos, window):
 def _decode_backbone_step(p, cfg: CodecLMConfig, token, pos, cache_k, cache_v):
     """One-token forward through all layers, updating the ring cache.
 
-    token: (bs,) int32; pos: () absolute position of this token.
+    token: (bs,) int32; pos: (bs,) per-row absolute position of this token.
     Returns (logits (bs, V), new_cache_k, new_cache_v).
     """
     window = cache_k.shape[2]
+    bs = token.shape[0]
     x = p["embed"][token][:, None, :]  # (bs, 1, d)
-    cos, sin = rope_angles(pos[None], cfg.head_dim)  # (1, D/2)
-    slot = jnp.mod(pos, window)
-    bs = x.shape[0]
+    cos, sin = rope_angles(pos, cfg.head_dim)  # (bs, D/2)
+    cos_b, sin_b = cos[:, None, None, :], sin[:, None, None, :]
+    slot = jnp.mod(pos, window)  # (bs,)
+    b_idx = jnp.arange(bs)
 
-    def layer_step(h, inputs):
-        layer_p, ck, cv = inputs
+    # PERF: the caches are read via per-layer dynamic slices and written back as
+    # ONE single-slot scatter after the layer scan. Threading them through the
+    # scan as xs/ys makes XLA materialize a full cache copy every decode step
+    # (~1.9 ms/step at MARS5 geometry); this layout measures ~3.2 ms/step vs the
+    # ~2.2 ms HBM-bandwidth floor.
+    def layer_step(carry, layer_p):
+        h, li = carry
         hn = rms_norm(h, layer_p["attention_norm"], cfg.norm_eps)
         q = linear(hn, layer_p["wq"]).reshape(bs, 1, cfg.n_heads, cfg.head_dim)
         k = linear(hn, layer_p["wk"]).reshape(bs, 1, cfg.n_kv_heads, cfg.head_dim)
         v = linear(hn, layer_p["wv"]).reshape(bs, 1, cfg.n_kv_heads, cfg.head_dim)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        ck = jax.lax.dynamic_update_slice(ck, k, (0, slot, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v, (0, slot, 0, 0))
+        q = apply_rope_halfsplit(q, cos_b, sin_b)
+        k = apply_rope_halfsplit(k, cos_b, sin_b)
+        ck = jax.lax.dynamic_slice(
+            cache_k, (li, 0, 0, 0, 0),
+            (1, bs, window, cfg.n_kv_heads, cfg.head_dim))[0]
+        cv = jax.lax.dynamic_slice(
+            cache_v, (li, 0, 0, 0, 0),
+            (1, bs, window, cfg.n_kv_heads, cfg.head_dim))[0]
+        ck = ck.at[b_idx, slot].set(k[:, 0])
+        cv = cv.at[b_idx, slot].set(v[:, 0])
         attn = _decode_attention(q[:, 0], ck, cv, pos, window)
         h = h + linear(attn.reshape(bs, 1, cfg.n_heads * cfg.head_dim), layer_p["wo"])
         hn = rms_norm(h, layer_p["ffn_norm"], cfg.norm_eps)
         ff = linear(jax.nn.silu(linear(hn, layer_p["w1"])) * linear(hn, layer_p["w3"]),
                     layer_p["w2"])
-        return h + ff, (ck, cv)
+        return (h + ff, li + 1), (k[:, 0], v[:, 0])
 
-    h, (new_k, new_v) = jax.lax.scan(layer_step, x, (p["ar"]["layers"], cache_k, cache_v))
+    (h, _), (ks, vs) = jax.lax.scan(layer_step, (x, jnp.int32(0)), p["ar"]["layers"])
+    # ks/vs: (L, bs, H, D) — write each row's slot back into the caches.
+    if bs == 1:
+        # contiguous dynamic_update_slice lowers in-place (the general
+        # advanced-index scatter below costs ~2.3 ms/step extra at MARS5 geometry)
+        new_k = jax.lax.dynamic_update_slice(cache_k, ks[:, :, None],
+                                             (0, 0, slot[0], 0, 0))
+        new_v = jax.lax.dynamic_update_slice(cache_v, vs[:, :, None],
+                                             (0, 0, slot[0], 0, 0))
+    else:
+        l_idx = jnp.arange(cfg.n_layers)[:, None]
+        new_k = cache_k.at[l_idx, b_idx[None, :], slot[None, :]].set(ks)
+        new_v = cache_v.at[l_idx, b_idx[None, :], slot[None, :]].set(vs)
     h = rms_norm(h, p["ar"]["norm"], cfg.norm_eps)
     logits = linear(h, p["ar"]["output"])[:, 0]
     return logits.astype(jnp.float32), new_k, new_v
 
 
 def _filter_logits(logits, s: ArSampling, counts, n_gen):
-    """The full per-step logit pipeline (mars5/ar_generate.py:73-102)."""
-    logits = jnp.where(n_gen > 1,
-                       freq_presence_penalty(logits, counts, s.alpha_frequency,
-                                             s.alpha_presence),
-                       logits)
+    """The full per-step logit pipeline (mars5/ar_generate.py:73-102).
+
+    n_gen: (bs,) per-row generated counts (penalties are per-row).
+    """
+    penalized = freq_presence_penalty(logits, counts, s.alpha_frequency,
+                                      s.alpha_presence)
+    logits = jnp.where((n_gen > 1)[:, None], penalized, logits)
     logits = mask_vocab_window(logits, s.valid_start, s.valid_end)
-    logits = early_eos_penalty(logits, n_gen, s.n_phones_gen,
-                               s.eos_penalty_decay, s.eos_penalty_factor, s.eos_idx)
+    # early-EOS penalty, rowwise (reference computes it from n_generated)
+    penalty = jnp.maximum(s.n_phones_gen - n_gen, 1).astype(logits.dtype)
+    modifier = s.eos_penalty_factor * penalty ** s.eos_penalty_decay
+    apply = n_gen <= s.n_phones_gen
+    eos_col = logits[:, s.eos_idx] - jnp.where(apply, modifier, 0.0)
+    logits = logits.at[:, s.eos_idx].set(eos_col)
     logits = logits / s.temperature
-    logits = top_k_top_p_filter(logits, top_k=s.top_k, top_p=s.top_p)
-    logits = apply_typical_p(logits, s.typical_p)
+    if s.top_k > 0:
+        # fast path: nucleus+typical on the sorted top-k subset (no full-vocab
+        # sorts in the decode loop); exact up to k-th-value tie-breaks
+        logits = filter_topk_subset(logits, s.top_k, s.top_p, s.typical_p)
+    else:
+        logits = top_k_top_p_filter(logits, top_k=s.top_k, top_p=s.top_p)
+        logits = apply_typical_p(logits, s.typical_p)
     logits = mask_vocab_window(logits, s.valid_start, s.valid_end)
     return jax.nn.log_softmax(logits, axis=-1)
 
@@ -143,80 +182,77 @@ def _filter_logits(logits, s: ArSampling, counts, n_gen):
 @functools.partial(jax.jit, static_argnames=("cfg", "s"))
 def _generate_jit(params, cfg: CodecLMConfig, s: ArSampling, prompt_padded,
                   prompt_len, spk_codes, uniforms):
-    """Compiled end-to-end generation.
+    """Compiled end-to-end batched generation.
 
     Args:
-        prompt_padded: (bs=1, Pb) prompt token ids, right-padded (values ignored
-            beyond prompt_len).
-        prompt_len: () int32 true prompt length.
-        spk_codes: (1, S, 8) speaker reference codes (padded with 1024).
-        uniforms: (max_len,) uniforms consumed one per decode step.
+        prompt_padded: (bs, Pb) prompt token ids, right-padded per row.
+        prompt_len: (bs,) int32 true prompt lengths.
+        spk_codes: (bs, S, 8) speaker reference codes (padded with 1024).
+        uniforms: (max_len, bs) uniforms; row i consumes uniforms[n_gen_i, i].
     Returns:
-        (tokens (1, max_len), final_len, n_gen)
+        (tokens (bs, max_len), final_len (bs,), n_gen (bs,)).
     """
     bs, pb = prompt_padded.shape
     window = min(cfg.sliding_window, s.max_len + 1)
     if pb + 1 > window:
         raise ValueError(f"padded prompt {pb}+1 exceeds cache window {window}")
+    b_idx = jnp.arange(bs)
 
     spk_vec = spk_embedding(params, cfg, spk_codes)
     all_logits, kvs = codeclm_prefill(params, cfg, prompt_padded, spk_vec)
-    # kvs: (L, bs, Pb+1, H, D) for positions 0..Pb; scatter into ring slots.
-    k_full, v_full = kvs
+    k_full, v_full = kvs  # (L, bs, Pb+1, H, D)
     cache_k = jnp.zeros((cfg.n_layers, bs, window, cfg.n_kv_heads, cfg.head_dim),
                         dtype=k_full.dtype)
     cache_v = jnp.zeros_like(cache_k)
     cache_k = cache_k.at[:, :, : pb + 1].set(k_full)
     cache_v = cache_v.at[:, :, : pb + 1].set(v_full)
 
-    # logits at the last real prompt token (position prompt_len)
-    last_logits = jax.lax.dynamic_index_in_dim(
-        all_logits, prompt_len, axis=1, keepdims=False).astype(jnp.float32)
+    # logits at each row's last real prompt token (position prompt_len)
+    last_logits = jnp.take_along_axis(
+        all_logits, prompt_len[:, None, None], axis=1)[:, 0].astype(jnp.float32)
 
     tokens = jnp.zeros((bs, s.max_len), jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt_padded.astype(jnp.int32), (0, 0))
 
     def sample_and_update(logits, state: DecodeState):
         logprobs = _filter_logits(logits, s, state.counts, state.n_gen)
-        u = state.uniforms[state.n_gen]
-        tok = sample_from_logprobs(logprobs, u[None])  # (bs,)
-        is_eos = (tok[0] == s.eos_idx) | (state.cur >= s.max_len)
-        new_tokens = jnp.where(
-            is_eos, state.tokens,
-            jax.lax.dynamic_update_slice(state.tokens, tok[:, None], (0, state.cur)))
-        # penalty-window counts: add the new token; evict the one leaving the window
-        counts = state.counts.at[jnp.arange(bs), tok].add(
-            jnp.where(is_eos, 0, 1))
+        u = jnp.take_along_axis(state.uniforms,
+                                jnp.minimum(state.n_gen, s.max_len - 1)[None, :],
+                                axis=0)[0]  # (bs,)
+        tok = sample_from_logprobs(logprobs, u)  # (bs,)
+        active = ~state.done
+        appends = active & (tok != s.eos_idx) & (state.cur < s.max_len)
+        cur_tok = state.tokens[b_idx, state.cur.clip(0, s.max_len - 1)]
+        new_tokens = state.tokens.at[b_idx, state.cur.clip(0, s.max_len - 1)].set(
+            jnp.where(appends, tok, cur_tok))
+        # penalty-window counts: add the new token; evict the one leaving
+        counts = state.counts.at[b_idx, tok].add(appends.astype(jnp.int32))
         evict_pos = state.cur - s.penalty_window  # token index leaving the window
-        evict_tok = jax.lax.dynamic_index_in_dim(
-            state.tokens, jnp.maximum(evict_pos, 0), axis=1, keepdims=False)
-        do_evict = (~is_eos) & (state.n_gen + 1 > s.penalty_window) & (evict_pos >= 0)
-        counts = counts.at[jnp.arange(bs), evict_tok].add(
-            jnp.where(do_evict, -1, 0))
-        return DecodeState(
-            tokens=new_tokens,
-            cur=state.cur + jnp.where(is_eos, 0, 1),
-            n_gen=state.n_gen + jnp.where(is_eos, 0, 1),
-            cache_k=state.cache_k, cache_v=state.cache_v,
-            counts=counts, uniforms=state.uniforms,
-            done=is_eos | (state.cur + 1 >= s.max_len),
-        )
+        evict_tok = new_tokens[b_idx, evict_pos.clip(0, s.max_len - 1)]
+        do_evict = appends & (state.n_gen + 1 > s.penalty_window) & (evict_pos >= 0)
+        counts = counts.at[b_idx, evict_tok].add(-do_evict.astype(jnp.int32))
+        new_cur = state.cur + appends.astype(jnp.int32)
+        done = state.done | (active & (tok == s.eos_idx)) | (new_cur >= s.max_len)
+        return state._replace(
+            tokens=new_tokens, cur=new_cur,
+            n_gen=state.n_gen + appends.astype(jnp.int32),
+            counts=counts, done=done)
 
     init = DecodeState(
-        tokens=tokens, cur=prompt_len, n_gen=jnp.int32(0),
+        tokens=tokens, cur=prompt_len.astype(jnp.int32),
+        n_gen=jnp.zeros((bs,), jnp.int32),
         cache_k=cache_k, cache_v=cache_v,
         counts=jnp.zeros((bs, cfg.n_vocab), jnp.int32),
-        uniforms=uniforms, done=jnp.bool_(False),
+        uniforms=uniforms, done=jnp.zeros((bs,), bool),
     )
     # first sample comes from the prefill logits
     state = sample_and_update(last_logits, init)
 
     def cond(st: DecodeState):
-        return ~st.done
+        return ~jnp.all(st.done)
 
     def body(st: DecodeState):
-        last_tok = jax.lax.dynamic_index_in_dim(st.tokens, st.cur - 1, axis=1,
-                                                keepdims=False)  # (bs,)
+        last_tok = st.tokens[b_idx, (st.cur - 1).clip(0)]  # (bs,)
         logits, ck, cv = _decode_backbone_step(params, cfg, last_tok, st.cur,
                                                st.cache_k, st.cache_v)
         st = st._replace(cache_k=ck, cache_v=cv)
@@ -230,37 +266,59 @@ def _bucket(n: int, step: int = 64) -> int:
     return max(step, -(-n // step) * step)
 
 
-def ar_generate(params, cfg: CodecLMConfig, prompt, spk_codes, *,
-                sampling: ArSampling, uniforms=None, seed: int = 0):
-    """Generate a completion of ``prompt`` (host-side wrapper).
+def ar_generate_batched(params, cfg: CodecLMConfig, prompts, spk_codes_list, *,
+                        sampling: ArSampling, uniforms=None, seed: int = 0):
+    """Batched generation over variable-length prompts (bucketed static shapes).
 
     Args:
-        params: CodecLM parameter pytree.
-        prompt: 1-D int sequence (text tokens + offset speech tokens).
-        spk_codes: (S, 8) speaker-reference codec codes.
-        sampling: ArSampling statics.
-        uniforms: optional (max_len,) uniform stream (parity harness); otherwise
-            derived from ``seed``.
+        prompts: list of 1-D int sequences.
+        spk_codes_list: list of (S_i, 8) speaker-reference code arrays.
     Returns:
-        np.ndarray (final_len,) — the full sequence (prompt + generated tokens,
-        without the terminating EOS), as the reference returns.
+        list of (np.ndarray sequence incl. prompt, n_generated) per input.
     """
-    prompt = np.asarray(prompt, dtype=np.int32)
+    bs = len(prompts)
     window = min(cfg.sliding_window, sampling.max_len + 1)
-    if len(prompt) + 1 > window:
-        raise ValueError(f"prompt length {len(prompt)} exceeds cache window {window}")
-    pb = min(_bucket(len(prompt)), window - 1)
-    prompt_padded = np.zeros((1, pb), np.int32)
-    prompt_padded[0, : len(prompt)] = prompt
-    spk = np.asarray(spk_codes, dtype=np.int32)[None]
+    max_p = max(len(p) for p in prompts)
+    if max_p + 1 > window:
+        raise ValueError(f"prompt length {max_p} exceeds cache window {window}")
+    pb = min(_bucket(max_p), window - 1)
+    prompt_padded = np.zeros((bs, pb), np.int32)
+    prompt_len = np.zeros((bs,), np.int32)
+    for i, p in enumerate(prompts):
+        prompt_padded[i, : len(p)] = np.asarray(p, np.int32)
+        prompt_len[i] = len(p)
+
+    max_s = max(c.shape[0] for c in spk_codes_list)
+    sb = _bucket(max_s, 16)
+    spk = np.full((bs, sb, 8), cfg.codebook_size - 1, np.int32)  # pad idx 1024
+    for i, c in enumerate(spk_codes_list):
+        spk[i, : c.shape[0]] = np.asarray(c, np.int32)
 
     if uniforms is None:
-        uniforms = jax.random.uniform(jax.random.PRNGKey(seed), (sampling.max_len,))
+        uniforms = jax.random.uniform(jax.random.PRNGKey(seed),
+                                      (sampling.max_len, bs))
     else:
-        uniforms = jnp.asarray(uniforms, dtype=jnp.float32)
+        uniforms = jnp.asarray(uniforms, jnp.float32)
+        if uniforms.ndim == 1:
+            uniforms = uniforms[:, None]
 
     tokens, final_len, n_gen = _generate_jit(
         params, cfg, sampling, jnp.asarray(prompt_padded),
-        jnp.int32(len(prompt)), jnp.asarray(spk), uniforms)
-    final_len = int(final_len)
-    return np.asarray(tokens)[0, :final_len], int(n_gen)
+        jnp.asarray(prompt_len), jnp.asarray(spk), uniforms)
+    tokens = np.asarray(tokens)
+    final_len = np.asarray(final_len)
+    n_gen = np.asarray(n_gen)
+    return [(tokens[i, : final_len[i]], int(n_gen[i])) for i in range(bs)]
+
+
+def ar_generate(params, cfg: CodecLMConfig, prompt, spk_codes, *,
+                sampling: ArSampling, uniforms=None, seed: int = 0):
+    """Generate a completion of a single ``prompt`` (reference-shaped API).
+
+    Returns (np.ndarray full sequence without terminating EOS, n_generated) —
+    as the reference's ar_generate returns its best beam.
+    """
+    out = ar_generate_batched(params, cfg, [np.asarray(prompt)],
+                              [np.asarray(spk_codes)], sampling=sampling,
+                              uniforms=uniforms, seed=seed)
+    return out[0]

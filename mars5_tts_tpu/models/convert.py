@@ -25,6 +25,19 @@ from .ar import CodecLMConfig
 from .nar import ResidualTransformerConfig
 
 
+def permute_rope_rows(w, head_dim: int):
+    """Permute per-head output rows [0,2,...,1,3,...] (interleaved -> half-split).
+
+    Applied to wq/wk so the TPU-friendly half-split RoPE (ops/rope.py) matches the
+    reference's interleaved convention exactly: q·k scores are invariant under any
+    shared permutation of the q/k basis.
+    """
+    out_dim = w.shape[0]
+    perm = np.arange(out_dim).reshape(-1, head_dim)
+    perm = np.concatenate([perm[:, 0::2], perm[:, 1::2]], axis=1).reshape(-1)
+    return w[perm]
+
+
 def _np(t):
     """torch tensor / array-like -> float32 numpy (weights are fp16 on disk)."""
     if hasattr(t, "detach"):
@@ -98,8 +111,12 @@ def convert_codeclm(sd, cfg: CodecLMConfig):
         "embed": _np(sd["embed.weight"]),
         "ar": {
             "layers": {
-                "wq": _stack(sd, "ar.layers.{i}.attention.wq.weight", nl),
-                "wk": _stack(sd, "ar.layers.{i}.attention.wk.weight", nl),
+                "wq": np.stack([
+                    permute_rope_rows(_np(sd[f"ar.layers.{i}.attention.wq.weight"]),
+                                      cfg.head_dim) for i in range(nl)]),
+                "wk": np.stack([
+                    permute_rope_rows(_np(sd[f"ar.layers.{i}.attention.wk.weight"]),
+                                      cfg.head_dim) for i in range(nl)]),
                 "wv": _stack(sd, "ar.layers.{i}.attention.wv.weight", nl),
                 "wo": _stack(sd, "ar.layers.{i}.attention.wo.weight", nl),
                 "w1": _stack(sd, "ar.layers.{i}.feed_forward.w1.weight", nl),

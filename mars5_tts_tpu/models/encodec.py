@@ -28,6 +28,7 @@ batched matmul + argmax (distance expansion), bit-stable in fp32.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -168,7 +169,15 @@ def rvq_encode(codebooks, emb, n_q: int):
 
 
 def encodec_encode(p, cfg: EncodecConfig, audio):
-    """Full encode path: (B, 1, T) audio -> (B, n_q, frames) codes @ 75 Hz."""
+    """Full encode path: (B, 1, T) audio -> (B, n_q, frames) codes @ 75 Hz.
+
+    Jitted (one XLA program per audio-length bucket); cfg is static.
+    """
+    return _encodec_encode_jit(p, cfg, audio)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _encodec_encode_jit(p, cfg: EncodecConfig, audio):
     emb = encoder_forward(p, cfg, audio)
     return rvq_encode(p["codebooks"], emb, cfg.n_q)
 

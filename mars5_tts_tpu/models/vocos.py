@@ -21,6 +21,7 @@ adanorm over 4 bandwidth ids, n_fft=1280, hop=320, 24 kHz output.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -147,8 +148,9 @@ def istft_head(p, x, cfg: VocosConfig):
     return istft_same(spec, cfg.n_fft, cfg.hop_length, window)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "bandwidth_id"))
 def vocos_decode(p, cfg: VocosConfig, features, bandwidth_id: int):
-    """features (B, C_in, T) + bandwidth id -> (B, samples) 24 kHz audio."""
+    """features (B, C_in, T) + bandwidth id -> (B, samples) 24 kHz audio. Jitted."""
     x = backbone_forward(p, cfg, features, bandwidth_id)
     return istft_head(p["head"], x, cfg)
 

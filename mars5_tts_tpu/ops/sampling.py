@@ -110,6 +110,52 @@ def apply_typical_p(logits, mass: float):
     return jnp.where(remove, NEG_INF, logits)
 
 
+def filter_topk_subset(logits, top_k: int, top_p: float = 1.0,
+                       typical_mass: float = 1.0, min_tokens: int = 1):
+    """Fused top-k -> nucleus -> typical filtering without full-vocab sorts.
+
+    Decode-loop fast path: ``lax.top_k`` returns the k survivors already sorted
+    descending, and both nucleus and typical filtering depend only on the
+    survivors (every other token is -inf with zero probability mass), so they run
+    exactly on the (bs, k) subset and the result scatters back to the full vocab.
+    This is bit-identical to ``top_k_top_p_filter`` + ``apply_typical_p`` except
+    for tie-breaks at the k-th value (the reference keeps all ties; top_k keeps
+    exactly k, lowest index first) — measure-zero for continuous logits.
+    Requires top_k > 0.
+    """
+    assert top_k > 0
+    v = logits.shape[-1]
+    bs = logits.shape[0]
+    k = min(max(top_k, min_tokens), v)
+    vals, idx = jax.lax.top_k(logits, k)  # (bs, k), sorted descending
+
+    if top_p < 1.0:
+        cum = jnp.cumsum(jax.nn.softmax(vals, axis=-1), axis=-1)
+        remove = cum > top_p
+        if min_tokens > 1:
+            remove = remove.at[..., :min_tokens].set(False)
+        remove = jnp.concatenate(
+            [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1)
+        vals = jnp.where(remove, NEG_INF, vals)
+
+    if typical_mass <= 0.999:
+        normalized = jax.nn.log_softmax(vals, axis=-1)
+        p = jnp.exp(normalized)
+        prod = jnp.where(jnp.isneginf(normalized), 0.0, normalized * p)
+        ent = -jnp.sum(prod, axis=-1, keepdims=True)
+        shifted = jnp.abs(-normalized - ent)
+        order = jnp.argsort(shifted, axis=-1)  # k elements only
+        sorted_scores = jnp.take_along_axis(shifted, order, axis=-1)
+        sorted_vals = jnp.take_along_axis(vals, order, axis=-1)
+        cum = jnp.cumsum(jax.nn.softmax(sorted_vals, axis=-1), axis=-1)
+        last_ind = jnp.sum(cum < typical_mass, axis=-1, keepdims=True)
+        threshold = jnp.take_along_axis(sorted_scores, last_ind, axis=-1)
+        vals = jnp.where(shifted > threshold, NEG_INF, vals)
+
+    bs_idx = jnp.arange(bs)[:, None]
+    return jnp.full_like(logits, NEG_INF).at[bs_idx, idx].set(vals)
+
+
 def sample_from_logprobs(logprobs, u):
     """Inverse-CDF categorical draw.
 

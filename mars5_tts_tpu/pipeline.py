@@ -209,7 +209,8 @@ class Mars5TTS:
                 self.codecnar, self.nar_cfg,
                 (c_text, c_codes, c_texts_lengths, c_codes_lengths, _x, x_padding_mask),
                 diff, diff.num_timesteps, dsh, retain_quant0=True,
-                key=jax.random.PRNGKey(seed + 1))
+                # rbg: fast partitionable PRNG for the ~20M Gumbel draws per step
+                key=jax.random.key(seed + 1, impl="rbg"))
 
             skip_front = raw_prompt_acoustic_len if cfg.deep_clone else 0
             final_output = np.asarray(final_output)[0, skip_front:]

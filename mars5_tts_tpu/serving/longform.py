@@ -1,0 +1,111 @@
+"""Long-form narration: chunked paragraph synthesis with crossfade stitching.
+
+The reference caps AR generation at ~2000 codes (≈26 s) and lists "long-form
+chunked synthesis" as an open roadmap TODO (reference README.md:197,
+inference.py:56-59); BASELINE config #4 makes it a first-class capability here.
+
+Strategy: split text into sentence-sized chunks under a character budget,
+synthesize each chunk independently (same reference audio/transcript, so the
+voice stays consistent), trim per-chunk silence, and overlap-add consecutive
+chunks with a short equal-power crossfade.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..audio.trim import trim
+from ..config import InferenceConfig
+
+_SENTENCE_SPLIT = re.compile(r"(?<=[.!?])\s+")
+
+
+def chunk_text(text: str, max_chars: int = 300) -> list[str]:
+    """Split text on sentence boundaries into chunks of at most ``max_chars``
+    (a single over-long sentence is split on commas, then hard-wrapped)."""
+    sentences = [s.strip() for s in _SENTENCE_SPLIT.split(text.strip()) if s.strip()]
+    chunks: list[str] = []
+    cur = ""
+    for s in sentences:
+        if len(s) > max_chars:
+            parts = [p.strip() for p in s.split(",")]
+            rebuilt = ""
+            for p in parts:
+                if rebuilt and len(rebuilt) + len(p) + 2 > max_chars:
+                    chunks.append(rebuilt + ",")
+                    rebuilt = p
+                else:
+                    rebuilt = (rebuilt + ", " + p) if rebuilt else p
+            for i in range(0, len(rebuilt), max_chars):
+                frag = rebuilt[i:i + max_chars].strip()
+                if frag:
+                    chunks.append(frag)
+            continue
+        if cur and len(cur) + len(s) + 1 > max_chars:
+            chunks.append(cur)
+            cur = s
+        else:
+            cur = (cur + " " + s) if cur else s
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def crossfade_concat(segments: list[np.ndarray], sr: int = 24000,
+                     fade_ms: float = 20.0, gap_ms: float = 60.0) -> np.ndarray:
+    """Concatenate audio segments with an equal-power crossfade and short gaps."""
+    if not segments:
+        return np.zeros(0, np.float32)
+    fade = max(int(sr * fade_ms / 1000), 1)
+    gap = np.zeros(int(sr * gap_ms / 1000), np.float32)
+    out = segments[0].astype(np.float32)
+    for seg in segments[1:]:
+        seg = seg.astype(np.float32)
+        out = np.concatenate([out, gap])
+        n = min(fade, len(out), len(seg))
+        if n > 0:
+            t = np.linspace(0.0, np.pi / 2, n, dtype=np.float32)
+            out_tail = out[-n:] * np.cos(t)
+            seg_head = seg[:n] * np.sin(t)
+            out = np.concatenate([out[:-n], out_tail + seg_head, seg[n:]])
+        else:
+            out = np.concatenate([out, seg])
+    return out
+
+
+@dataclass
+class LongformResult:
+    audio: np.ndarray
+    chunks: list[str]
+    chunk_audio_seconds: list[float]
+    timings: list[dict]
+
+
+def synthesize_longform(tts_model, text: str, ref_audio,
+                        ref_transcript: Optional[str] = None,
+                        cfg: Optional[InferenceConfig] = None,
+                        max_chars: int = 300, fade_ms: float = 20.0,
+                        gap_ms: float = 60.0, seed: int = 0) -> LongformResult:
+    """Narrate arbitrarily long ``text`` by chunked synthesis + stitching.
+
+    Args:
+        tts_model: a ``Mars5TTS`` instance.
+        Everything else mirrors ``Mars5TTS.tts``.
+    """
+    cfg = cfg or InferenceConfig()
+    chunks = chunk_text(text, max_chars=max_chars)
+    segments, timings, secs = [], [], []
+    for i, chunk in enumerate(chunks):
+        _, audio = tts_model.tts(chunk, ref_audio, ref_transcript=ref_transcript,
+                                 cfg=cfg, seed=seed + i)
+        audio, _ = trim(np.asarray(audio), top_db=cfg.trim_db)
+        segments.append(audio)
+        secs.append(len(audio) / tts_model.sr)
+        timings.append(dict(tts_model.last_timing))
+    return LongformResult(audio=crossfade_concat(segments, sr=tts_model.sr,
+                                                 fade_ms=fade_ms, gap_ms=gap_ms),
+                          chunks=chunks, chunk_audio_seconds=secs, timings=timings)
