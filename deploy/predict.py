@@ -1,0 +1,44 @@
+"""Replicate/cog-style predictor (reference cog/predict.py equivalent).
+
+Exposes the same deploy shape: a ``Predictor`` with ``setup()`` (loads the model
+once) and ``predict(text, ref_audio, ref_transcript, ...)`` returning the path of
+the written WAV. Works standalone (no cog import required) so it doubles as a
+simple server-side handler.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from pathlib import Path
+
+
+class Predictor:
+    def setup(self, ar_path=None, nar_path=None):
+        from mars5_tts_tpu.pipeline import Mars5TTS
+
+        ar_path = ar_path or os.environ.get("MARS5_AR_CKPT", "mars5_ar.safetensors")
+        nar_path = nar_path or os.environ.get("MARS5_NAR_CKPT", "mars5_nar.safetensors")
+        self.model = Mars5TTS.from_local(ar_path, nar_path)
+
+    def predict(self, text: str, ref_audio: str, ref_transcript: str,
+                top_k: int = 100, temperature: float = 0.7,
+                freq_penalty: float = 3.0, rep_penalty_window: int = 100,
+                out_path: str | None = None) -> str:
+        """Synthesize ``text`` cloned from ``ref_audio`` (a WAV path).
+
+        Uses the reference deployment's fixed deep-clone configuration
+        (cog/predict.py:17-49).
+        """
+        from mars5_tts_tpu.audio.io import read_wav, write_wav
+        from mars5_tts_tpu.config import InferenceConfig
+
+        audio_in, _ = read_wav(ref_audio, target_sr=24000)
+        cfg = InferenceConfig(deep_clone=True, rep_penalty_window=rep_penalty_window,
+                              top_k=top_k, temperature=temperature,
+                              freq_penalty=freq_penalty)
+        _, wav = self.model.tts(text, audio_in, ref_transcript=ref_transcript, cfg=cfg)
+        if out_path is None:
+            out_path = str(Path(tempfile.mkdtemp()) / "output.wav")
+        write_wav(out_path, wav, sr=self.model.sr)
+        return out_path

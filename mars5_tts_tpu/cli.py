@@ -1,0 +1,88 @@
+"""Command-line synthesis: ``python -m mars5_tts_tpu.cli --text ... --ref ref.wav``.
+
+The reference has no CLI (deployment goes through cog); this provides the obvious
+one on top of the same public API.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mars5-tts-tpu",
+                                description="Zero-shot voice-cloning TTS (TPU-native)")
+    p.add_argument("--text", required=True, help="text to synthesize")
+    p.add_argument("--ref", required=True, help="reference WAV (ideally 24 kHz, 2-12 s)")
+    p.add_argument("--transcript", default=None,
+                   help="transcript of the reference audio (required for deep clone)")
+    p.add_argument("--out", default="output.wav", help="output WAV path")
+    p.add_argument("--ar", required=True, help="AR checkpoint (.safetensors/.pt)")
+    p.add_argument("--nar", required=True, help="NAR checkpoint (.safetensors/.pt)")
+    p.add_argument("--encodec", default=None,
+                   help="Encodec encoder params (.npz pytree or official torch ckpt)")
+    p.add_argument("--vocos", default=None,
+                   help="Vocos vocoder params (.npz pytree or official torch ckpt)")
+    p.add_argument("--shallow", action="store_true", help="shallow clone (no transcript)")
+    p.add_argument("--longform", action="store_true",
+                   help="chunk long text and crossfade-stitch the result")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--top-k", type=int, default=200)
+    p.add_argument("--top-p", type=float, default=0.2)
+    p.add_argument("--timesteps", type=int, default=200)
+    p.add_argument("--max-len", type=int, default=-1,
+                   help="cap on total AR tokens (generate_max_len_override)")
+    p.add_argument("--timings", action="store_true", help="print per-stage timings JSON")
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu, tpu); default = auto")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from .audio.io import read_wav, write_wav
+    from .config import InferenceConfig
+    from .pipeline import Mars5TTS
+
+    from .hub import load_codec_params
+
+    ref_audio, _ = read_wav(args.ref, target_sr=24000)
+    kwargs = {}
+    if args.encodec:
+        kwargs["encodec_params"] = load_codec_params(args.encodec, "encodec")
+    if args.vocos:
+        kwargs["vocos_params"] = load_codec_params(args.vocos, "vocos")
+    model = Mars5TTS.from_local(args.ar, args.nar, **kwargs)
+    cfg = InferenceConfig(deep_clone=not args.shallow, temperature=args.temperature,
+                          top_k=args.top_k, top_p=args.top_p,
+                          timesteps=args.timesteps,
+                          generate_max_len_override=args.max_len)
+    transcript = args.transcript if args.transcript is not None else ("" if args.shallow else None)
+
+    if args.longform:
+        from .serving import synthesize_longform
+        result = synthesize_longform(model, args.text, ref_audio,
+                                     ref_transcript=transcript, cfg=cfg,
+                                     seed=args.seed)
+        audio = result.audio
+    else:
+        _, audio = model.tts(args.text, ref_audio, ref_transcript=transcript,
+                             cfg=cfg, seed=args.seed)
+
+    write_wav(args.out, audio, sr=model.sr)
+    print(f"wrote {args.out} ({len(audio) / model.sr:.2f}s)")
+    if args.timings:
+        print(json.dumps(model.last_timing))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,6 +25,50 @@ from .ar import CodecLMConfig
 from .nar import ResidualTransformerConfig
 
 
+def infer_codeclm_config(sd, n_vocab: int | None = None) -> CodecLMConfig:
+    """Derive a CodecLMConfig from checkpoint tensor shapes.
+
+    head_dim is not recoverable from shapes alone; the reference's ModelArgs pins
+    it to 64 (mars5/nn_future.py:149), which holds for every released MARS5
+    checkpoint. Tiny test checkpoints carry exact configs in metadata instead.
+    """
+    nv, dim = sd["embed.weight"].shape
+    n_layers = 1 + max(int(k.split(".")[2]) for k in sd if k.startswith("ar.layers."))
+    head_dim = 64
+    n_heads = sd["ar.layers.0.attention.wq.weight"].shape[0] // head_dim
+    n_kv_heads = sd["ar.layers.0.attention.wk.weight"].shape[0] // head_dim
+    hidden = sd["ar.layers.0.feed_forward.w1.weight"].shape[0]
+    n_spk = 1 + max(int(k.split(".")[2]) for k in sd if k.startswith("spk_encoder.layers."))
+    spk_hidden = sd["spk_encoder.layers.0.activation.W.weight"].shape[0]
+    n_cb = sum(1 for k in sd if k.startswith("ref_chunked_emb.embs.") and k.endswith(".weight"))
+    cb_size = sd["ref_chunked_emb.embs.0.weight"].shape[0]
+    return CodecLMConfig(n_vocab=int(n_vocab or nv), dim=int(dim), n_heads=int(n_heads),
+                         n_kv_heads=int(n_kv_heads), head_dim=head_dim,
+                         n_layers=n_layers, hidden_dim=int(hidden),
+                         n_spk_layers=n_spk, spk_hidden_dim=int(spk_hidden),
+                         codebook_size=int(cb_size), n_codebooks=int(n_cb))
+
+
+def infer_nar_config(sd, nhead: int = 16) -> ResidualTransformerConfig:
+    """Derive a ResidualTransformerConfig from checkpoint tensor shapes.
+
+    nhead is not recoverable from shapes; defaults to the released model's 16.
+    """
+    n_text, dim = sd["text_embed.weight"].shape
+    n_quant = sd["residual_decoder.0.1.weight"].shape[0]
+    enc = 1 + max(int(k.split(".")[3]) for k in sd if k.startswith("tfm.encoder.layers."))
+    dec = 1 + max(int(k.split(".")[3]) for k in sd if k.startswith("tfm.decoder.layers."))
+    n_spk = 1 + max(int(k.split(".")[2]) for k in sd if k.startswith("spk_encoder.layers."))
+    t_emb = sd["timestep_encoder_emb.0.weight"].shape[1]
+    hidden = sd["tfm.encoder.layers.0.activation.W.weight"].shape[0]
+    nq = sum(1 for k in sd if k.startswith("residual_decoder.") and k.endswith(".1.weight"))
+    return ResidualTransformerConfig(n_text_vocab=int(n_text), n_quant=int(n_quant),
+                                     dim=int(dim), nhead=nhead, enc_layers=enc,
+                                     dec_layers=dec, n_spk_layers=n_spk,
+                                     pred_quant_levels=nq, t_emb_dim=int(t_emb),
+                                     hidden_dim=int(hidden))
+
+
 def permute_rope_rows(w, head_dim: int):
     """Permute per-head output rows [0,2,...,1,3,...] (interleaved -> half-split).
 

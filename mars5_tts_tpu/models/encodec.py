@@ -63,6 +63,21 @@ class EncodecConfig:
     def tiny(cls) -> "EncodecConfig":
         return cls(dimension=16, n_filters=4, ratios=(4, 2), n_q=4, codebook_size=32)
 
+    @classmethod
+    def infer(cls, params) -> "EncodecConfig":
+        """Derive the config from a parameter pytree's shapes."""
+        n_filters = params["init"]["w"].shape[0]
+        kernel_size = params["init"]["w"].shape[-1]
+        ratios = tuple(int(s["down"]["w"].shape[-1]) // 2 for s in params["stages"])[::-1]
+        dimension = params["final"]["w"].shape[0]
+        last_kernel = params["final"]["w"].shape[-1]
+        n_q, codebook_size, _ = params["codebooks"].shape
+        lstm_layers = len(params["lstm"]["layers"])
+        return cls(dimension=int(dimension), n_filters=int(n_filters),
+                   ratios=ratios, kernel_size=int(kernel_size),
+                   last_kernel_size=int(last_kernel), lstm_layers=lstm_layers,
+                   n_q=int(n_q), codebook_size=int(codebook_size))
+
 
 def _conv1d(x, w, b, stride: int = 1, dilation: int = 1, groups: int = 1):
     """x: (B, C, T); w: (out, in/groups, K) torch layout."""

@@ -51,6 +51,25 @@ class VocosConfig:
         return cls(input_channels=8, dim=16, intermediate_dim=32, num_layers=2,
                    n_fft=64, hop_length=16, n_codebooks=4, codebook_size=32)
 
+    @classmethod
+    def infer(cls, params, codebook_size: int = 1024, hop_length: int | None = None) -> "VocosConfig":
+        """Derive the config from a parameter pytree's shapes.
+
+        hop_length is not recoverable from weights; defaults to n_fft // 4
+        (the released model's 1280/320) unless given.
+        """
+        dim, input_channels, _ = params["embed_w"].shape
+        num_layers = len(params["convnext"])
+        intermediate_dim = params["convnext"][0]["pwconv1_w"].shape[0]
+        n_adanorm = params["norm"]["scale"].shape[0]
+        n_fft = params["head"]["out_w"].shape[0] - 2
+        n_codebooks = params["codebook_weights"].shape[0] // codebook_size
+        return cls(input_channels=int(input_channels), dim=int(dim),
+                   intermediate_dim=int(intermediate_dim), num_layers=num_layers,
+                   adanorm_num_embeddings=int(n_adanorm), n_fft=int(n_fft),
+                   hop_length=int(hop_length or n_fft // 4),
+                   n_codebooks=int(n_codebooks), codebook_size=codebook_size)
+
 
 def codes_to_features(codebook_weights, codes, bins: int = 1024):
     """(K, T) or (K, B, T) codes -> (B, C, T) features (sum of codebook embeds).

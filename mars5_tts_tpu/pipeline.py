@@ -45,8 +45,8 @@ class Mars5TTS:
                  encodec_params=None, vocos_params=None,
                  ar_cfg: Optional[CodecLMConfig] = None,
                  nar_cfg: Optional[ResidualTransformerConfig] = None,
-                 encodec_cfg: EncodecConfig = EncodecConfig(),
-                 vocos_cfg: VocosConfig = VocosConfig()):
+                 encodec_cfg: Optional[EncodecConfig] = None,
+                 vocos_cfg: Optional[VocosConfig] = None):
         # tokenizers are embedded in the checkpoint vocab metadata
         self.texttok, self.speechtok = load_tokenizers(ar_ckpt)
 
@@ -54,15 +54,33 @@ class Mars5TTS:
         self.n_text_vocab = len(self.texttok.vocab) + 1
         self.diffusion_n_classes = 1025  # 1024 codes + pad
 
-        self.ar_cfg = ar_cfg or CodecLMConfig.mars5(self.n_vocab)
-        self.nar_cfg = nar_cfg or ResidualTransformerConfig.mars5(self.n_text_vocab)
+        if ar_cfg is None:
+            if "config" in ar_ckpt:
+                ar_cfg = CodecLMConfig(**ar_ckpt["config"])
+            else:
+                from .models.convert import infer_codeclm_config
+                ar_cfg = infer_codeclm_config(ar_ckpt["model"], n_vocab=self.n_vocab)
+        if nar_cfg is None:
+            if "config" in nar_ckpt:
+                nar_cfg = ResidualTransformerConfig(**nar_ckpt["config"])
+            else:
+                from .models.convert import infer_nar_config
+                nar_cfg = infer_nar_config(nar_ckpt["model"])
+        self.ar_cfg = ar_cfg
+        self.nar_cfg = nar_cfg
         self.codeclm = jax.tree.map(jnp.asarray, convert_codeclm(ar_ckpt["model"], self.ar_cfg))
         self.codecnar = jax.tree.map(jnp.asarray, convert_nar(nar_ckpt["model"], self.nar_cfg))
 
-        self.encodec_cfg = encodec_cfg
-        self.vocos_cfg = vocos_cfg
         self.encodec = jax.tree.map(jnp.asarray, encodec_params) if encodec_params else None
         self.vocos = jax.tree.map(jnp.asarray, vocos_params) if vocos_params else None
+        if encodec_cfg is None:
+            encodec_cfg = (EncodecConfig.infer(self.encodec) if self.encodec
+                           else EncodecConfig())
+        if vocos_cfg is None:
+            vocos_cfg = (VocosConfig.infer(self.vocos) if self.vocos
+                         else VocosConfig())
+        self.encodec_cfg = encodec_cfg
+        self.vocos_cfg = vocos_cfg
 
         self.default_T = 200
         self.sr = 24000
@@ -199,7 +217,11 @@ class Mars5TTS:
             _x = np.repeat(gen_codes_decoded[None, :, None], 8, axis=2)
             x_padding_mask = np.zeros((1, _x.shape[1]), bool)
 
-            diff = MultinomialDiffusion(self.diffusion_n_classes, timesteps=self.default_T)
+            # NOTE: the reference hardcodes T = self.default_T (inference.py:286),
+            # silently ignoring its own cfg.timesteps knob; we honor it (identical
+            # at the default 200).
+            T = cfg.timesteps or self.default_T
+            diff = MultinomialDiffusion(self.diffusion_n_classes, timesteps=T)
             dsh = DSH(last_greedy=True, x_0_temp=cfg.x_0_temp,
                       guidance_w=cfg.nar_guidance_w, deep_clone=cfg.deep_clone,
                       jump_len=1, jump_n_sample=1,

@@ -66,20 +66,20 @@ def make_tiny_mars5(tmpdir, seed: int = 0):
         n_text_vocab=n_text_vocab, n_quant=1025, dim=64, nhead=4, enc_layers=2,
         dec_layers=2, n_spk_layers=2, t_emb_dim=64, p_cond_drop=0, dropout=0).eval()
 
-    vocab_meta = {"texttok.model": text_str, "speechtok.model": speech_str}
-    ar_path = os.path.join(tmpdir, "mars5_ar.safetensors")
-    nar_path = os.path.join(tmpdir, "mars5_nar.safetensors")
-    save_checkpoint(ar_path, {k: v.numpy() for k, v in ar_torch.state_dict().items()},
-                    vocab_meta)
-    save_checkpoint(nar_path, {k: v.numpy() for k, v in nar_torch.state_dict().items()},
-                    vocab_meta)
-
     ar_cfg = CodecLMConfig(n_vocab=n_vocab, dim=64, n_heads=2, n_kv_heads=2,
                            head_dim=64, n_layers=2, hidden_dim=96,
                            sliding_window=3000, n_spk_layers=2, spk_hidden_dim=192)
     nar_cfg = ResidualTransformerConfig(n_text_vocab=n_text_vocab, n_quant=1025,
                                         dim=64, nhead=4, enc_layers=2, dec_layers=2,
                                         n_spk_layers=2, t_emb_dim=64, hidden_dim=192)
+
+    vocab_meta = {"texttok.model": text_str, "speechtok.model": speech_str}
+    ar_path = os.path.join(tmpdir, "mars5_ar.safetensors")
+    nar_path = os.path.join(tmpdir, "mars5_nar.safetensors")
+    save_checkpoint(ar_path, {k: v.numpy() for k, v in ar_torch.state_dict().items()},
+                    vocab_meta, config=ar_cfg.__dict__)
+    save_checkpoint(nar_path, {k: v.numpy() for k, v in nar_torch.state_dict().items()},
+                    vocab_meta, config=nar_cfg.__dict__)
     encodec_cfg = EncodecConfig(dimension=16, n_filters=4, ratios=(4, 2), n_q=8,
                                 codebook_size=1024)
     vocos_cfg = VocosConfig(input_channels=16, dim=16, intermediate_dim=32,
