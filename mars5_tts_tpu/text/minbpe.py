@@ -28,6 +28,8 @@ import unicodedata
 
 import regex as re
 
+from . import native as _native
+
 # GPT-4 text split pattern (see tiktoken's openai_public.py; same constant the
 # reference uses at mars5/minbpe/regex.py:19).
 GPT4_SPLIT_PATTERN = r"""'(?i:[sdmt]|ll|ve|re)|[^\r\n\p{L}\p{N}]?+\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]++[\r\n]*|\s*[\r\n]|\s+(?!\S)|\s+"""
@@ -247,6 +249,18 @@ class Tokenizer:
     def _preprocess_special_chunk(self, part: str):
         return part
 
+    def _merge(self, ids) -> list[int]:
+        """Apply merges: native C++ engine for long sequences, Python otherwise."""
+        if len(ids) < 2 or not self.merges:
+            return list(ids)
+        if len(ids) >= 32 and _native.available():
+            table = getattr(self, "_native_table", None)
+            if table is None or getattr(self, "_native_src", None) is not self.merges:
+                self._native_table = table = _native.MergeTable(self.merges)
+                self._native_src = self.merges
+            return _native.merge_ids_native(ids, table)
+        return _merge_ids(ids, self.merges)
+
     def encode_ordinary(self, text: str) -> list[int]:
         raise NotImplementedError
 
@@ -268,7 +282,7 @@ class RegexTokenizer(Tokenizer):
     def encode_ordinary(self, text: str) -> list[int]:
         ids: list[int] = []
         for chunk in re.findall(self.compiled_pattern, text):
-            ids.extend(_merge_ids(list(chunk.encode("utf-8")), self.merges))
+            ids.extend(self._merge(list(chunk.encode("utf-8"))))
         return ids
 
     def load(self, model_file) -> None:
@@ -305,7 +319,7 @@ class CodebookTokenizer(Tokenizer):
                            self._base_vocab(), self.codebook_size, verbose)
 
     def encode_ordinary(self, text: str) -> list[int]:
-        return _merge_ids([int(t) for t in text.split(" ")], self.merges)
+        return self._merge([int(t) for t in text.split(" ")])
 
     def decode_int(self, ids) -> list:
         """Decode BPE ids back to raw integer codes (specials kept as strings).
