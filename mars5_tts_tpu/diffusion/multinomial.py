@@ -131,6 +131,60 @@ class MultinomialDiffusion:
         return log_add_exp(log_x_start + log_cum,
                            log_1_min_cum - self.log_num_classes)
 
+    # -- indexed (one-hot input) fast paths ------------------------------------
+    # When the input distribution is a clamped log one-hot (index_to_log_onehot),
+    # every transition value is one of TWO scalars per timestep: the "hot" value
+    # log_add_exp(a_t, b_t) and the "cold" value log_add_exp(c + a_t, b_t) with
+    # c = log(MIN_LOG_ARG). Computing those scalars and selecting avoids ~6 full
+    # passes over the (bs, L, 8, K) tensor per step. The scalar ops are the SAME
+    # floating-point operations, so results are bit-identical to the dense path
+    # (the e2e parity tests cover this).
+
+    def _two_scalar_select(self, x_idx, a, b):
+        """a/b: per-batch scalars broadcast-shaped (bs, 1, ..., 1)."""
+        cold_log = jnp.log(jnp.float32(MIN_LOG_ARG))
+        hot = log_add_exp(a, b)
+        cold = log_add_exp(cold_log + a, b)
+        onehot = jax.nn.one_hot(x_idx, self.num_classes, dtype=jnp.bool_)
+        return jnp.where(onehot, hot, cold)
+
+    def q_pred_one_timestep_indexed(self, x_idx, t):
+        """q_pred_one_timestep(index_to_log_onehot(x_idx), t), computed as a select."""
+        nd = x_idx.ndim + 1
+        a = _extract(self.log_alpha, t, nd)
+        b = _extract(self.log_1_min_alpha, t, nd) - self.log_num_classes
+        return self._two_scalar_select(x_idx, a, b)
+
+    def q_pred_indexed(self, x_idx, t):
+        """q_pred(index_to_log_onehot(x_idx), t), computed as a select."""
+        nd = x_idx.ndim + 1
+        a = _extract(self.log_cumprod_alpha, t, nd)
+        b = _extract(self.log_1_min_cumprod_alpha, t, nd) - self.log_num_classes
+        return self._two_scalar_select(x_idx, a, b)
+
+    def q_pred_one_timestep_scaled_indexed(self, x_idx, t, c, jump_len: int):
+        """Indexed kevin-scaled forward transition (per-position two-value select)."""
+        nd = x_idx.ndim + 1
+        seq_len = x_idx.shape[1]
+        a = _extract(self.log_alpha, t, nd)
+        b = _extract(self.log_1_min_alpha, t, nd)
+        xax = jnp.arange(seq_len, dtype=jnp.float32)
+        aa = seq_len * (c / jump_len)
+        sig = 1.0 / (1.0 + jnp.exp(-(xax - aa + 20.0) / 8.0))
+        shape = (1, seq_len) + (1,) * (nd - 2)
+        a = jnp.clip(jnp.log(1.0 / sig).reshape(shape) + a, max=0.0)
+        b = jnp.log(sig).reshape(shape) + b - self.log_num_classes
+        return self._two_scalar_select(x_idx, a, b)
+
+    def q_posterior_indexed(self, log_x_start, x_t_idx, t):
+        """q_posterior with x_t given as indices (one-hot) instead of log-probs."""
+        t_minus_1 = jnp.maximum(t - 1, 0)
+        log_ev = self.q_pred(log_x_start, t_minus_1)
+        t_broadcast = t.reshape(-1, *([1] * (log_x_start.ndim - 1)))
+        log_ev = jnp.where(t_broadcast == 0, log_x_start, log_ev)
+        unnormed = log_ev + self.q_pred_one_timestep_indexed(x_t_idx, t)
+        return unnormed - jax.nn.logsumexp(unnormed, axis=-1, keepdims=True)
+
     def q_posterior(self, log_x_start, log_x_t, t):
         """log q(x_{t-1} | x_t, x_0) via Bayes, with the t=0 one-hot override."""
         t_minus_1 = jnp.maximum(t - 1, 0)

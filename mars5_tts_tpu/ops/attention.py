@@ -54,6 +54,9 @@ def sdpa(q, k, v, mask=None):
     return out.astype(q.dtype)
 
 
+_PALLAS_SELF_ATTN_MIN_LEN = 512
+
+
 def torch_mha(p, q_in, kv_in, nhead: int, key_padding_mask=None):
     """torch ``nn.MultiheadAttention`` forward (batch_first, self- or cross-attention).
 
@@ -62,6 +65,10 @@ def torch_mha(p, q_in, kv_in, nhead: int, key_padding_mask=None):
            ``out_b`` (D,).
         q_in: (B, Lq, D) queries; kv_in: (B, Lk, D) keys/values source.
         key_padding_mask: optional (B, Lk) bool, True = IGNORE (torch convention).
+
+    Long self-attention routes through the VMEM-resident Pallas kernel on TPU
+    (scores never hit HBM; ~1.4x per layer at NAR geometry); short sequences and
+    cross-attention stay on the fused XLA path.
     """
     d = q_in.shape[-1]
     wq, wk, wv = p["in_proj_w"][:d], p["in_proj_w"][d:2 * d], p["in_proj_w"][2 * d:]
@@ -71,6 +78,14 @@ def torch_mha(p, q_in, kv_in, nhead: int, key_padding_mask=None):
     q = linear(q_in, wq, bq).reshape(b, lq, nhead, d // nhead)
     k = linear(kv_in, wk, bk).reshape(b, lk, nhead, d // nhead)
     v = linear(kv_in, wv, bv).reshape(b, lk, nhead, d // nhead)
+
+    if lq == lk and lq >= _PALLAS_SELF_ATTN_MIN_LEN:
+        from .pallas import enabled as _pallas_enabled
+        if _pallas_enabled():
+            from .pallas.mha import sdpa_pallas
+            out = sdpa_pallas(q, k, v, key_padding_mask)
+            return linear(out.reshape(b, lq, d), p["out_w"], p["out_b"])
+
     mask = None
     if key_padding_mask is not None:
         mask = ~key_padding_mask[:, None, None, :]  # True = keep

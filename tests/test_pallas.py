@@ -46,3 +46,24 @@ def test_pallas_masks_unwritten_slots():
     out2 = decode_attention_pallas(jnp.asarray(q), jnp.asarray(k2), jnp.asarray(v2),
                                    jnp.asarray(pos), interpret=True)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+@pytest.mark.parametrize("l,masked", [(300, True), (256, False), (517, True)])
+def test_pallas_mha_matches_xla(l, masked):
+    from mars5_tts_tpu.ops.attention import sdpa
+    from mars5_tts_tpu.ops.pallas.mha import sdpa_pallas
+
+    b, h, d = 2, 4, 32
+    rng = np.random.default_rng(l)
+    q = rng.standard_normal((b, l, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, l, h, d)).astype(np.float32)
+    v = rng.standard_normal((b, l, h, d)).astype(np.float32)
+    mask = np.zeros((b, l), bool)
+    if masked:
+        mask[1, l - 40:] = True
+
+    ref = sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+               ~jnp.asarray(mask)[:, None, None, :])
+    out = sdpa_pallas(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                      jnp.asarray(mask), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
