@@ -82,3 +82,14 @@ def test_vocode_ar_codes_debug_path(tiny_mars5):
     codes = np.random.default_rng(0).integers(0, 1024, size=(12, 8))
     audio = mars5.vocode(codes)
     assert audio.shape == (12 * mars5.vocos_cfg.hop_length,)
+
+
+def test_tts_shallow_none_transcript_typeerror(tiny_mars5):
+    """Reference quirk preserved: shallow clone with ref_transcript=None raises
+    TypeError at the unconditional transcript concat (inference.py:226)."""
+    from mars5_tts_tpu import InferenceConfig
+
+    mars5, _ = tiny_mars5
+    with pytest.raises(TypeError):
+        mars5.tts("x", _ref_audio(), ref_transcript=None,
+                  cfg=InferenceConfig(deep_clone=False))
