@@ -208,3 +208,110 @@ def convert_nar(sd, cfg: ResidualTransformerConfig):
             "lin_b": _stack(sd, "residual_decoder.{i}.1.bias", nq),
         },
     }
+
+
+def _unpermute_rope_rows(w, head_dim: int):
+    """Inverse of permute_rope_rows (half-split -> interleaved)."""
+    out_dim = w.shape[0]
+    perm = np.arange(out_dim).reshape(-1, head_dim)
+    perm = np.concatenate([perm[:, 0::2], perm[:, 1::2]], axis=1).reshape(-1)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(out_dim)
+    return w[inv]
+
+
+def _np_leaf(x):
+    return np.asarray(x)
+
+
+def _unstack_enc_layer(layers, i, prefix, out):
+    g = lambda k: _np_leaf(layers[k][i])
+    out[f"{prefix}.self_attn.in_proj_weight"] = g("sa_in_w")
+    out[f"{prefix}.self_attn.in_proj_bias"] = g("sa_in_b")
+    out[f"{prefix}.self_attn.out_proj.weight"] = g("sa_out_w")
+    out[f"{prefix}.self_attn.out_proj.bias"] = g("sa_out_b")
+    out[f"{prefix}.activation.W.weight"] = g("W")
+    out[f"{prefix}.activation.V.weight"] = g("V")
+    out[f"{prefix}.linear2.weight"] = g("lin2_w")
+    out[f"{prefix}.linear2.bias"] = g("lin2_b")
+    out[f"{prefix}.norm1.weight"] = g("norm1_w")
+    out[f"{prefix}.norm1.bias"] = g("norm1_b")
+    out[f"{prefix}.norm2.weight"] = g("norm2_w")
+    out[f"{prefix}.norm2.bias"] = g("norm2_b")
+    if "ca_in_w" in layers:
+        out[f"{prefix}.multihead_attn.in_proj_weight"] = g("ca_in_w")
+        out[f"{prefix}.multihead_attn.in_proj_bias"] = g("ca_in_b")
+        out[f"{prefix}.multihead_attn.out_proj.weight"] = g("ca_out_w")
+        out[f"{prefix}.multihead_attn.out_proj.bias"] = g("ca_out_b")
+        out[f"{prefix}.norm3.weight"] = g("norm3_w")
+        out[f"{prefix}.norm3.bias"] = g("norm3_b")
+
+
+def _unstack_stack(stack, prefix, n_layers, out):
+    for i in range(n_layers):
+        _unstack_enc_layer(stack["layers"], i, f"{prefix}.layers.{i}", out)
+    out[f"{prefix}.norm.weight"] = _np_leaf(stack["norm_w"])
+    out[f"{prefix}.norm.bias"] = _np_leaf(stack["norm_b"])
+
+
+def convert_codeclm_back(params, cfg: CodecLMConfig) -> dict:
+    """AR pytree -> reference ``CodecLM.state_dict()`` naming (numpy values).
+
+    Undoes the RoPE row permutation so the exported checkpoint loads into the
+    reference torch model (and back into this framework) unchanged.
+    """
+    sd: dict = {"embed.weight": _np_leaf(params["embed"])}
+    layers = params["ar"]["layers"]
+    for i in range(cfg.n_layers):
+        pre = f"ar.layers.{i}"
+        sd[f"{pre}.attention.wq.weight"] = _unpermute_rope_rows(
+            _np_leaf(layers["wq"][i]), cfg.head_dim)
+        sd[f"{pre}.attention.wk.weight"] = _unpermute_rope_rows(
+            _np_leaf(layers["wk"][i]), cfg.head_dim)
+        sd[f"{pre}.attention.wv.weight"] = _np_leaf(layers["wv"][i])
+        sd[f"{pre}.attention.wo.weight"] = _np_leaf(layers["wo"][i])
+        sd[f"{pre}.feed_forward.w1.weight"] = _np_leaf(layers["w1"][i])
+        sd[f"{pre}.feed_forward.w2.weight"] = _np_leaf(layers["w2"][i])
+        sd[f"{pre}.feed_forward.w3.weight"] = _np_leaf(layers["w3"][i])
+        sd[f"{pre}.attention_norm.weight"] = _np_leaf(layers["attention_norm"][i])
+        sd[f"{pre}.ffn_norm.weight"] = _np_leaf(layers["ffn_norm"][i])
+    sd["ar.norm.weight"] = _np_leaf(params["ar"]["norm"])
+    sd["ar.output.weight"] = _np_leaf(params["ar"]["output"])
+    sd["pos_embedding.alpha"] = _np_leaf(params["pos_alpha"])
+    for i in range(cfg.n_codebooks):
+        sd[f"ref_chunked_emb.embs.{i}.weight"] = _np_leaf(params["ref_chunked_emb"][i])
+    sd["spk_identity_emb.weight"] = _np_leaf(params["spk_identity_emb"])
+    _unstack_stack(params["spk_encoder"], "spk_encoder", cfg.n_spk_layers, sd)
+    return sd
+
+
+def convert_nar_back(params, cfg: ResidualTransformerConfig) -> dict:
+    """NAR pytree -> reference ``ResidualTransformer.state_dict()`` naming."""
+    sd: dict = {
+        "text_embed.weight": _np_leaf(params["text_embed"]),
+        "cond_pos_embedding.alpha": _np_leaf(params["cond_pos_alpha"]),
+        "pos_embedding.alpha": _np_leaf(params["pos_alpha"]),
+        "ref_pos_embedding.alpha": _np_leaf(params["ref_pos_alpha"]),
+        "timestep_encoder_emb.0.weight": _np_leaf(params["t_enc_mlp"]["w0"]),
+        "timestep_encoder_emb.0.bias": _np_leaf(params["t_enc_mlp"]["b0"]),
+        "timestep_encoder_emb.2.weight": _np_leaf(params["t_enc_mlp"]["w1"]),
+        "timestep_encoder_emb.2.bias": _np_leaf(params["t_enc_mlp"]["b1"]),
+        "timestep_decoder_emb.0.weight": _np_leaf(params["t_dec_mlp"]["w0"]),
+        "timestep_decoder_emb.0.bias": _np_leaf(params["t_dec_mlp"]["b0"]),
+        "timestep_decoder_emb.2.weight": _np_leaf(params["t_dec_mlp"]["w1"]),
+        "timestep_decoder_emb.2.bias": _np_leaf(params["t_dec_mlp"]["b1"]),
+        "spk_identity_emb.weight": _np_leaf(params["spk_identity_emb"]),
+    }
+    _unstack_stack(params["encoder"], "tfm.encoder", cfg.enc_layers, sd)
+    _unstack_stack(params["decoder"], "tfm.decoder", cfg.dec_layers, sd)
+    _unstack_stack(params["spk_encoder"], "spk_encoder", cfg.n_spk_layers, sd)
+    for i in range(cfg.c_quant_levels):
+        sd[f"ref_embedder.embs.{i}.weight"] = _np_leaf(params["ref_embedder"][i])
+        sd[f"residual_encoder.embs.{i}.weight"] = _np_leaf(params["residual_encoder"][i])
+    rd = params["residual_decoder"]
+    for i in range(cfg.pred_quant_levels):
+        sd[f"residual_decoder.{i}.0.weight"] = _np_leaf(rd["ln_w"][i])
+        sd[f"residual_decoder.{i}.0.bias"] = _np_leaf(rd["ln_b"][i])
+        sd[f"residual_decoder.{i}.1.weight"] = _np_leaf(rd["lin_w"][i])
+        sd[f"residual_decoder.{i}.1.bias"] = _np_leaf(rd["lin_b"][i])
+    return sd

@@ -151,3 +151,27 @@ def shard_train_state(mesh, state: TrainState, ar_specs, nar_specs) -> TrainStat
         nar_params=put_params(state.nar_params, nar_specs),
         nar_opt=put_opt(state.nar_opt, state.nar_params, nar_specs),
         step=put(state.step, P()))
+
+
+def save_train_checkpoint(path, state: TrainState) -> None:
+    """Persist the full training state (params + optimizer + step) via orbax."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(str(path), jax.device_get(state))
+
+
+def restore_train_checkpoint(path, state_like: TrainState) -> TrainState:
+    """Restore a training state saved by save_train_checkpoint.
+
+    ``state_like`` provides the target structure/shapes (e.g. a fresh
+    init_train_state); restored arrays land on the default device — re-shard
+    with shard_train_state afterwards for mesh runs.
+    """
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+            state_like)
+        return ckptr.restore(str(path), abstract)
