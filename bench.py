@@ -25,6 +25,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: fresh bench processes skip the multi-minute
+# recompiles of the decode while_loop / diffusion scan
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/mars5_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 BENCH_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 TARGET_RTF = 0.25
 AUDIO_SECONDS = 10.0
