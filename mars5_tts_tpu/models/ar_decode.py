@@ -179,24 +179,41 @@ def _filter_logits(logits, s: ArSampling, counts, n_gen):
     return jax.nn.log_softmax(logits, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "s"))
-def _generate_jit(params, cfg: CodecLMConfig, s: ArSampling, prompt_padded,
-                  prompt_len, spk_codes, uniforms):
-    """Compiled end-to-end batched generation.
+def _sample_and_update(logits, state: DecodeState, s: ArSampling) -> DecodeState:
+    """Sample one token per active row and advance the per-row decode state."""
+    bs = logits.shape[0]
+    b_idx = jnp.arange(bs)
+    logprobs = _filter_logits(logits, s, state.counts, state.n_gen)
+    u = jnp.take_along_axis(state.uniforms,
+                            jnp.minimum(state.n_gen, s.max_len - 1)[None, :],
+                            axis=0)[0]  # (bs,)
+    tok = sample_from_logprobs(logprobs, u)  # (bs,)
+    active = ~state.done
+    appends = active & (tok != s.eos_idx) & (state.cur < s.max_len)
+    cur_tok = state.tokens[b_idx, state.cur.clip(0, s.max_len - 1)]
+    new_tokens = state.tokens.at[b_idx, state.cur.clip(0, s.max_len - 1)].set(
+        jnp.where(appends, tok, cur_tok))
+    # penalty-window counts: add the new token; evict the one leaving
+    counts = state.counts.at[b_idx, tok].add(appends.astype(jnp.int32))
+    evict_pos = state.cur - s.penalty_window  # token index leaving the window
+    evict_tok = new_tokens[b_idx, evict_pos.clip(0, s.max_len - 1)]
+    do_evict = appends & (state.n_gen + 1 > s.penalty_window) & (evict_pos >= 0)
+    counts = counts.at[b_idx, evict_tok].add(-do_evict.astype(jnp.int32))
+    new_cur = state.cur + appends.astype(jnp.int32)
+    done = state.done | (active & (tok == s.eos_idx)) | (new_cur >= s.max_len)
+    return state._replace(
+        tokens=new_tokens, cur=new_cur,
+        n_gen=state.n_gen + appends.astype(jnp.int32),
+        counts=counts, done=done)
 
-    Args:
-        prompt_padded: (bs, Pb) prompt token ids, right-padded per row.
-        prompt_len: (bs,) int32 true prompt lengths.
-        spk_codes: (bs, S, 8) speaker reference codes (padded with 1024).
-        uniforms: (max_len, bs) uniforms; row i consumes uniforms[n_gen_i, i].
-    Returns:
-        (tokens (bs, max_len), final_len (bs,), n_gen (bs,)).
-    """
+
+def _init_state(params, cfg: CodecLMConfig, s: ArSampling, prompt_padded,
+                prompt_len, spk_codes, uniforms) -> DecodeState:
+    """Prefill + first sample: builds a ready-to-decode DecodeState (any bs)."""
     bs, pb = prompt_padded.shape
     window = min(cfg.sliding_window, s.max_len + 1)
     if pb + 1 > window:
         raise ValueError(f"padded prompt {pb}+1 exceeds cache window {window}")
-    b_idx = jnp.arange(bs)
 
     spk_vec = spk_embedding(params, cfg, spk_codes)
     all_logits, kvs = codeclm_prefill(params, cfg, prompt_padded, spk_vec)
@@ -214,30 +231,6 @@ def _generate_jit(params, cfg: CodecLMConfig, s: ArSampling, prompt_padded,
     tokens = jnp.zeros((bs, s.max_len), jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt_padded.astype(jnp.int32), (0, 0))
 
-    def sample_and_update(logits, state: DecodeState):
-        logprobs = _filter_logits(logits, s, state.counts, state.n_gen)
-        u = jnp.take_along_axis(state.uniforms,
-                                jnp.minimum(state.n_gen, s.max_len - 1)[None, :],
-                                axis=0)[0]  # (bs,)
-        tok = sample_from_logprobs(logprobs, u)  # (bs,)
-        active = ~state.done
-        appends = active & (tok != s.eos_idx) & (state.cur < s.max_len)
-        cur_tok = state.tokens[b_idx, state.cur.clip(0, s.max_len - 1)]
-        new_tokens = state.tokens.at[b_idx, state.cur.clip(0, s.max_len - 1)].set(
-            jnp.where(appends, tok, cur_tok))
-        # penalty-window counts: add the new token; evict the one leaving
-        counts = state.counts.at[b_idx, tok].add(appends.astype(jnp.int32))
-        evict_pos = state.cur - s.penalty_window  # token index leaving the window
-        evict_tok = new_tokens[b_idx, evict_pos.clip(0, s.max_len - 1)]
-        do_evict = appends & (state.n_gen + 1 > s.penalty_window) & (evict_pos >= 0)
-        counts = counts.at[b_idx, evict_tok].add(-do_evict.astype(jnp.int32))
-        new_cur = state.cur + appends.astype(jnp.int32)
-        done = state.done | (active & (tok == s.eos_idx)) | (new_cur >= s.max_len)
-        return state._replace(
-            tokens=new_tokens, cur=new_cur,
-            n_gen=state.n_gen + appends.astype(jnp.int32),
-            counts=counts, done=done)
-
     init = DecodeState(
         tokens=tokens, cur=prompt_len.astype(jnp.int32),
         n_gen=jnp.zeros((bs,), jnp.int32),
@@ -246,20 +239,100 @@ def _generate_jit(params, cfg: CodecLMConfig, s: ArSampling, prompt_padded,
         uniforms=uniforms, done=jnp.zeros((bs,), bool),
     )
     # first sample comes from the prefill logits
-    state = sample_and_update(last_logits, init)
+    return _sample_and_update(last_logits, init, s)
 
-    def cond(st: DecodeState):
-        return ~jnp.all(st.done)
 
-    def body(st: DecodeState):
-        last_tok = st.tokens[b_idx, (st.cur - 1).clip(0)]  # (bs,)
-        logits, ck, cv = _decode_backbone_step(params, cfg, last_tok, st.cur,
-                                               st.cache_k, st.cache_v)
-        st = st._replace(cache_k=ck, cache_v=cv)
-        return sample_and_update(logits, st)
+def _decode_body(params, cfg: CodecLMConfig, s: ArSampling, st: DecodeState) -> DecodeState:
+    bs = st.cur.shape[0]
+    b_idx = jnp.arange(bs)
+    last_tok = st.tokens[b_idx, (st.cur - 1).clip(0)]  # (bs,)
+    logits, ck, cv = _decode_backbone_step(params, cfg, last_tok, st.cur,
+                                           st.cache_k, st.cache_v)
+    st = st._replace(cache_k=ck, cache_v=cv)
+    return _sample_and_update(logits, st, s)
 
-    final = jax.lax.while_loop(cond, body, state)
+
+@functools.partial(jax.jit, static_argnames=("cfg", "s"))
+def _generate_jit(params, cfg: CodecLMConfig, s: ArSampling, prompt_padded,
+                  prompt_len, spk_codes, uniforms):
+    """Compiled end-to-end batched generation.
+
+    Args:
+        prompt_padded: (bs, Pb) prompt token ids, right-padded per row.
+        prompt_len: (bs,) int32 true prompt lengths.
+        spk_codes: (bs, S, 8) speaker reference codes (padded with 1024).
+        uniforms: (max_len, bs) uniforms; row i consumes uniforms[n_gen_i, i].
+    Returns:
+        (tokens (bs, max_len), final_len (bs,), n_gen (bs,)).
+    """
+    state = _init_state(params, cfg, s, prompt_padded, prompt_len, spk_codes, uniforms)
+    final = jax.lax.while_loop(
+        lambda st: ~jnp.all(st.done),
+        lambda st: _decode_body(params, cfg, s, st),
+        state)
     return final.tokens, final.cur, final.n_gen
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "s"))
+def prefill_row(params, cfg: CodecLMConfig, s: ArSampling, prompt_padded,
+                prompt_len, spk_codes, uniforms) -> DecodeState:
+    """Single-request prefill for continuous batching: a bs=1 DecodeState with
+    the first token already sampled (insertable into a batch via insert_row)."""
+    return _init_state(params, cfg, s, prompt_padded, prompt_len, spk_codes, uniforms)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "s", "n_steps"))
+def decode_chunk(params, cfg: CodecLMConfig, s: ArSampling, state: DecodeState,
+                 n_steps: int) -> DecodeState:
+    """Run at most n_steps decode iterations (stops early if all rows finish).
+
+    The continuous-batching scheduling quantum: rows decode independently, so
+    chunked execution is bit-identical to the monolithic while_loop per row.
+    """
+    def cond(carry):
+        st, i = carry
+        return (~jnp.all(st.done)) & (i < n_steps)
+
+    def body(carry):
+        st, i = carry
+        return _decode_body(params, cfg, s, st), i + 1
+
+    final, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    return final
+
+
+@jax.jit
+def insert_row(state: DecodeState, row: DecodeState, b) -> DecodeState:
+    """Write a prefilled bs=1 row state into slot ``b`` of a batch state."""
+    return DecodeState(
+        tokens=jax.lax.dynamic_update_slice(state.tokens, row.tokens, (b, 0)),
+        cur=state.cur.at[b].set(row.cur[0]),
+        n_gen=state.n_gen.at[b].set(row.n_gen[0]),
+        cache_k=jax.lax.dynamic_update_slice(
+            state.cache_k, row.cache_k, (0, b, 0, 0, 0)),
+        cache_v=jax.lax.dynamic_update_slice(
+            state.cache_v, row.cache_v, (0, b, 0, 0, 0)),
+        counts=jax.lax.dynamic_update_slice(state.counts, row.counts, (b, 0)),
+        uniforms=jax.lax.dynamic_update_slice(
+            state.uniforms, row.uniforms, (0, b)),
+        done=state.done.at[b].set(row.done[0]),
+    )
+
+
+def make_parked_state(cfg: CodecLMConfig, s: ArSampling, bs: int,
+                      dtype=jnp.float32) -> DecodeState:
+    """An all-done batch state (every row free) for a continuous batcher."""
+    window = min(cfg.sliding_window, s.max_len + 1)
+    return DecodeState(
+        tokens=jnp.zeros((bs, s.max_len), jnp.int32),
+        cur=jnp.zeros((bs,), jnp.int32),
+        n_gen=jnp.zeros((bs,), jnp.int32),
+        cache_k=jnp.zeros((cfg.n_layers, bs, window, cfg.n_kv_heads, cfg.head_dim), dtype),
+        cache_v=jnp.zeros((cfg.n_layers, bs, window, cfg.n_kv_heads, cfg.head_dim), dtype),
+        counts=jnp.zeros((bs, cfg.n_vocab), jnp.int32),
+        uniforms=jnp.zeros((s.max_len, bs), jnp.float32),
+        done=jnp.ones((bs,), bool),
+    )
 
 
 def _bucket(n: int, step: int = 64) -> int:
