@@ -75,16 +75,34 @@ class DecodeState(NamedTuple):
     done: jax.Array        # (bs,) bool
 
 
-def _decode_attention(q, ck, cv, pos, window):
+def _decode_attention(q, ck, cv, pos, window, k_new=None, v_new=None):
     """Single-token attention against the ring cache.
 
     q: (bs, H, D); ck/cv: (bs, W, H, D); pos: (bs,) per-row absolute positions.
+    When ``k_new``/``v_new`` (bs, H, D) are given, the cache is treated as NOT
+    containing the current token: its ring slot is masked (stale) and the
+    current token contributes through an explicit self-attention column. This
+    avoids scattering k/v into a cache *copy* inside every layer (XLA cannot
+    do that update in place mid-read; the copies cost ~0.25 ms/step at bs=1
+    and ~2 ms at bs=8).
     """
     scale = 1.0 / (q.shape[-1] ** 0.5)
     logits = jnp.einsum("bhd,bwhd->bhw", q, ck, preferred_element_type=jnp.float32) * scale
     slots = jnp.arange(window)[None, :]
     slot_pos = pos[:, None] - jnp.mod(pos[:, None] - slots, window)
     valid = slot_pos >= 0  # (bs, W)
+    if k_new is not None:
+        cur_slot = jnp.mod(pos, window)
+        valid = valid & (slots != cur_slot[:, None])
+        self_score = jnp.sum(q.astype(jnp.float32) * k_new.astype(jnp.float32),
+                             axis=-1, keepdims=True) * scale  # (bs, H, 1)
+        logits = jnp.where(valid[:, None, :], logits, float("-inf"))
+        logits = jnp.concatenate([logits, self_score], axis=-1)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhw,bwhd->bhd", probs[..., :window].astype(q.dtype), cv,
+                         preferred_element_type=jnp.float32)
+        out = out + probs[..., window:].astype(jnp.float32) * v_new.astype(jnp.float32)
+        return out.astype(q.dtype)
     logits = jnp.where(valid[:, None, :], logits, float("-inf"))
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     out = jnp.einsum("bhw,bwhd->bhd", probs.astype(q.dtype), cv,
@@ -125,9 +143,8 @@ def _decode_backbone_step(p, cfg: CodecLMConfig, token, pos, cache_k, cache_v):
         cv = jax.lax.dynamic_slice(
             cache_v, (li, 0, 0, 0, 0),
             (1, bs, window, cfg.n_kv_heads, cfg.head_dim))[0]
-        ck = ck.at[b_idx, slot].set(k[:, 0])
-        cv = cv.at[b_idx, slot].set(v[:, 0])
-        attn = _decode_attention(q[:, 0], ck, cv, pos, window)
+        attn = _decode_attention(q[:, 0], ck, cv, pos, window,
+                                 k_new=k[:, 0], v_new=v[:, 0])
         h = h + linear(attn.reshape(bs, 1, cfg.n_heads * cfg.head_dim), layer_p["wo"])
         hn = rms_norm(h, layer_p["ffn_norm"], cfg.norm_eps)
         ff = linear(jax.nn.silu(linear(hn, layer_p["w1"])) * linear(hn, layer_p["w3"]),
@@ -135,18 +152,16 @@ def _decode_backbone_step(p, cfg: CodecLMConfig, token, pos, cache_k, cache_v):
         return (h + ff, li + 1), (k[:, 0], v[:, 0])
 
     (h, _), (ks, vs) = jax.lax.scan(layer_step, (x, jnp.int32(0)), p["ar"]["layers"])
-    # ks/vs: (L, bs, H, D) — write each row's slot back into the caches.
-    if bs == 1:
-        # contiguous dynamic_update_slice lowers in-place (the general
-        # advanced-index scatter below costs ~2.3 ms/step extra at MARS5 geometry)
-        new_k = jax.lax.dynamic_update_slice(cache_k, ks[:, :, None],
-                                             (0, 0, slot[0], 0, 0))
-        new_v = jax.lax.dynamic_update_slice(cache_v, vs[:, :, None],
-                                             (0, 0, slot[0], 0, 0))
-    else:
-        l_idx = jnp.arange(cfg.n_layers)[:, None]
-        new_k = cache_k.at[l_idx, b_idx[None, :], slot[None, :]].set(ks)
-        new_v = cache_v.at[l_idx, b_idx[None, :], slot[None, :]].set(vs)
+    # ks/vs: (L, bs, H, D) — write each row's slot back into the caches with
+    # per-row contiguous dynamic_update_slices (one per row, statically
+    # unrolled). These lower in-place; the advanced-index scatter alternative
+    # copies the whole cache (~2.3 ms/step extra at bs=1, worse batched).
+    new_k, new_v = cache_k, cache_v
+    for b in range(bs):
+        new_k = jax.lax.dynamic_update_slice(
+            new_k, ks[:, b:b + 1, None], (0, b, slot[b], 0, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            new_v, vs[:, b:b + 1, None], (0, b, slot[b], 0, 0))
     h = rms_norm(h, p["ar"]["norm"], cfg.norm_eps)
     logits = linear(h, p["ar"]["output"])[:, 0]
     return logits.astype(jnp.float32), new_k, new_v
