@@ -194,7 +194,8 @@ def init_codeclm(key, cfg: CodecLMConfig, dtype=jnp.float32):
         return {
             "sa_in_w": dense(ks[0], 3 * d, d), "sa_in_b": jnp.zeros((3 * d,), dtype),
             "sa_out_w": dense(ks[1], d, d), "sa_out_b": jnp.zeros((d,), dtype),
-            "W": dense(ks[2], cfg.spk_hidden_dim, d), "V": dense(ks[3], cfg.spk_hidden_dim, d),
+            "WV": jnp.concatenate([dense(ks[2], cfg.spk_hidden_dim, d),
+                                   dense(ks[3], cfg.spk_hidden_dim, d)], axis=0),
             "lin2_w": dense(ks[4], d, cfg.spk_hidden_dim), "lin2_b": jnp.zeros((d,), dtype),
             "norm1_w": jnp.ones((d,), dtype), "norm1_b": jnp.zeros((d,), dtype),
             "norm2_w": jnp.ones((d,), dtype), "norm2_b": jnp.zeros((d,), dtype),

@@ -103,8 +103,8 @@ def _enc_layer(sd, prefix):
         "sa_in_b": _np(sd[f"{prefix}.self_attn.in_proj_bias"]),
         "sa_out_w": _np(sd[f"{prefix}.self_attn.out_proj.weight"]),
         "sa_out_b": _np(sd[f"{prefix}.self_attn.out_proj.bias"]),
-        "W": _np(sd[f"{prefix}.activation.W.weight"]),
-        "V": _np(sd[f"{prefix}.activation.V.weight"]),
+        "WV": np.concatenate([_np(sd[f"{prefix}.activation.W.weight"]),
+                              _np(sd[f"{prefix}.activation.V.weight"])], axis=0),
         "lin2_w": _np(sd[f"{prefix}.linear2.weight"]),
         "lin2_b": _np(sd[f"{prefix}.linear2.bias"]),
         "norm1_w": _np(sd[f"{prefix}.norm1.weight"]),
@@ -230,8 +230,9 @@ def _unstack_enc_layer(layers, i, prefix, out):
     out[f"{prefix}.self_attn.in_proj_bias"] = g("sa_in_b")
     out[f"{prefix}.self_attn.out_proj.weight"] = g("sa_out_w")
     out[f"{prefix}.self_attn.out_proj.bias"] = g("sa_out_b")
-    out[f"{prefix}.activation.W.weight"] = g("W")
-    out[f"{prefix}.activation.V.weight"] = g("V")
+    wv = g("WV")
+    out[f"{prefix}.activation.W.weight"] = wv[: wv.shape[0] // 2]
+    out[f"{prefix}.activation.V.weight"] = wv[wv.shape[0] // 2:]
     out[f"{prefix}.linear2.weight"] = g("lin2_w")
     out[f"{prefix}.linear2.bias"] = g("lin2_b")
     out[f"{prefix}.norm1.weight"] = g("norm1_w")

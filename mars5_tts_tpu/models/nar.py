@@ -153,7 +153,7 @@ def init_nar(key, cfg: ResidualTransformerConfig, dtype=jnp.float32):
         return {
             "sa_in_w": dense(3 * d, d), "sa_in_b": jnp.zeros((3 * d,), dtype),
             "sa_out_w": dense(d, d), "sa_out_b": jnp.zeros((d,), dtype),
-            "W": dense(f, d), "V": dense(f, d),
+            "WV": jnp.concatenate([dense(f, d), dense(f, d)], axis=0),
             "lin2_w": dense(d, f), "lin2_b": jnp.zeros((d,), dtype),
             "norm1_w": jnp.ones((d,), dtype), "norm1_b": jnp.zeros((d,), dtype),
             "norm2_w": jnp.ones((d,), dtype), "norm2_b": jnp.zeros((d,), dtype),

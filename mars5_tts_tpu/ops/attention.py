@@ -71,13 +71,22 @@ def torch_mha(p, q_in, kv_in, nhead: int, key_padding_mask=None):
     cross-attention stay on the fused XLA path.
     """
     d = q_in.shape[-1]
-    wq, wk, wv = p["in_proj_w"][:d], p["in_proj_w"][d:2 * d], p["in_proj_w"][2 * d:]
-    bq, bk, bv = p["in_proj_b"][:d], p["in_proj_b"][d:2 * d], p["in_proj_b"][2 * d:]
     b, lq = q_in.shape[:2]
     lk = kv_in.shape[1]
-    q = linear(q_in, wq, bq).reshape(b, lq, nhead, d // nhead)
-    k = linear(kv_in, wk, bk).reshape(b, lk, nhead, d // nhead)
-    v = linear(kv_in, wv, bv).reshape(b, lk, nhead, d // nhead)
+    # One fused in_proj matmul for self-attention (output rows are independent,
+    # so splitting after is bitwise-identical to three separate dots); for
+    # cross-attention, a q dot + one fused kv dot. Matmul count matters: TPU
+    # op cost at these shapes is latency-bound, not FLOP-bound.
+    if q_in is kv_in:
+        qkv = linear(q_in, p["in_proj_w"], p["in_proj_b"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = linear(q_in, p["in_proj_w"][:d], p["in_proj_b"][:d])
+        kv = linear(kv_in, p["in_proj_w"][d:], p["in_proj_b"][d:])
+        k, v = jnp.split(kv, 2, axis=-1)
+    q = q.reshape(b, lq, nhead, d // nhead)
+    k = k.reshape(b, lk, nhead, d // nhead)
+    v = v.reshape(b, lk, nhead, d // nhead)
 
     if lq == lk and lq >= _PALLAS_SELF_ATTN_MIN_LEN:
         from .pallas import enabled as _pallas_enabled

@@ -4,6 +4,9 @@ Megatron-style layout for the AR Mistral blocks (stacked on the layer axis 0,
 which always stays unsharded so ``lax.scan`` slices locally):
 
 * wq/wk/wv (L, H*Dh, D): shard the head output axis -> column parallel,
+* fused SwiGLU WV (L, 2F, D): column parallel on the 2F axis (the W/V halves
+  are split downstream on the activation; XLA inserts any needed reshard —
+  correctness is sharding-transparent),
 * wo (L, D, H*Dh): shard the input axis -> row parallel (psum on output),
 * w1/w3 (L, F, D): column parallel; w2 (L, D, F): row parallel,
 * output head (V, D): shard vocab when divisible,
@@ -73,8 +76,7 @@ def _enc_layer_specs(layer, tp_size: int):
         return _maybe(spec, arr.shape, tp_size)
 
     specs = {k: P(*([None] * v.ndim)) for k, v in layer.items()}
-    specs["W"] = m(P(None, "tp", None), layer["W"])
-    specs["V"] = m(P(None, "tp", None), layer["V"])
+    specs["WV"] = m(P(None, "tp", None), layer["WV"])
     specs["lin2_w"] = m(P(None, None, "tp"), layer["lin2_w"])
     return specs
 
