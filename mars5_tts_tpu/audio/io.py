@@ -9,7 +9,6 @@ anyway); use a proper resampler upstream for archival quality.
 
 from __future__ import annotations
 
-import struct
 import wave
 
 import numpy as np

@@ -26,7 +26,6 @@ parity harness (index 0: unknown-region draw; index 1: known-region draw).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +33,7 @@ import numpy as np
 
 from ..config import DSH
 from ..models.nar import ResidualTransformerConfig, nar_forward
-from .multinomial import MultinomialDiffusion, index_to_log_onehot
+from .multinomial import MultinomialDiffusion
 from .schedule import build_step_plan
 
 

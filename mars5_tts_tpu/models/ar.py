@@ -18,7 +18,7 @@ compute dtype (bf16 in production, fp32 in parity tests); norms/softmax in fp32.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

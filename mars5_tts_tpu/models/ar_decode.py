@@ -36,10 +36,9 @@ import numpy as np
 from ..ops.quant import linear_any as linear
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope_halfsplit, rope_angles
-from ..ops.sampling import (apply_typical_p, early_eos_penalty,
-                            filter_topk_subset, freq_presence_penalty,
-                            mask_vocab_window, sample_from_logprobs,
-                            top_k_top_p_filter)
+from ..ops.sampling import (apply_typical_p, filter_topk_subset,
+                            freq_presence_penalty, mask_vocab_window,
+                            sample_from_logprobs, top_k_top_p_filter)
 from .ar import CodecLMConfig, codeclm_prefill, spk_embedding
 
 

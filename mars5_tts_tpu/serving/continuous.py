@@ -12,8 +12,8 @@ row inserts/harvests — the decode itself never leaves the device.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable, Optional
+from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 

@@ -15,7 +15,6 @@ minimize the variational bound term from the diffusion math.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
