@@ -67,3 +67,27 @@ def test_pallas_mha_matches_xla(l, masked):
     out = sdpa_pallas(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
                       jnp.asarray(mask), interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("pos_val", [5, 63, 100])
+def test_pallas_decode_attention_self_column(pos_val):
+    """Self-column mode (cache excludes current token) matches the XLA path."""
+    from mars5_tts_tpu.models.ar_decode import _decode_attention
+    from mars5_tts_tpu.ops.pallas import decode_attention_pallas
+
+    bs, w, h, d = 2, 64, 4, 32
+    rng = np.random.default_rng(pos_val)
+    q = rng.standard_normal((bs, h, d)).astype(np.float32)
+    k = rng.standard_normal((bs, w, h, d)).astype(np.float32)
+    v = rng.standard_normal((bs, w, h, d)).astype(np.float32)
+    kn = rng.standard_normal((bs, h, d)).astype(np.float32)
+    vn = rng.standard_normal((bs, h, d)).astype(np.float32)
+    pos = np.array([pos_val, max(pos_val - 3, 0)], np.int32)
+
+    ref = _decode_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                            jnp.asarray(pos), w, k_new=jnp.asarray(kn),
+                            v_new=jnp.asarray(vn))
+    out = decode_attention_pallas(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                  jnp.asarray(pos), k_new=jnp.asarray(kn),
+                                  v_new=jnp.asarray(vn), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
