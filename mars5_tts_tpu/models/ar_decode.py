@@ -71,6 +71,7 @@ class DecodeState(NamedTuple):
     cache_v: jax.Array
     counts: jax.Array      # (bs, V) int32 — occurrence counts in penalty window
     uniforms: jax.Array    # (max_len, bs) uniforms for inverse-CDF sampling
+    est_len: jax.Array     # (bs,) int32 — per-row early-EOS estimated length
     done: jax.Array        # (bs,) bool
 
 
@@ -166,19 +167,20 @@ def _decode_backbone_step(p, cfg: CodecLMConfig, token, pos, cache_k, cache_v):
     return logits.astype(jnp.float32), new_k, new_v
 
 
-def _filter_logits(logits, s: ArSampling, counts, n_gen):
+def _filter_logits(logits, s: ArSampling, counts, n_gen, est_len):
     """The full per-step logit pipeline (mars5/ar_generate.py:73-102).
 
-    n_gen: (bs,) per-row generated counts (penalties are per-row).
+    n_gen / est_len: (bs,) per-row generated counts and estimated lengths.
     """
     penalized = freq_presence_penalty(logits, counts, s.alpha_frequency,
                                       s.alpha_presence)
     logits = jnp.where((n_gen > 1)[:, None], penalized, logits)
     logits = mask_vocab_window(logits, s.valid_start, s.valid_end)
-    # early-EOS penalty, rowwise (reference computes it from n_generated)
-    penalty = jnp.maximum(s.n_phones_gen - n_gen, 1).astype(logits.dtype)
+    # early-EOS penalty, rowwise (reference computes it from n_generated);
+    # est_len is per-row so batched rows keep their own text-length estimates
+    penalty = jnp.maximum(est_len - n_gen, 1).astype(logits.dtype)
     modifier = s.eos_penalty_factor * penalty ** s.eos_penalty_decay
-    apply = n_gen <= s.n_phones_gen
+    apply = n_gen <= est_len
     eos_col = logits[:, s.eos_idx] - jnp.where(apply, modifier, 0.0)
     logits = logits.at[:, s.eos_idx].set(eos_col)
     logits = logits / s.temperature
@@ -197,7 +199,7 @@ def _sample_and_update(logits, state: DecodeState, s: ArSampling) -> DecodeState
     """Sample one token per active row and advance the per-row decode state."""
     bs = logits.shape[0]
     b_idx = jnp.arange(bs)
-    logprobs = _filter_logits(logits, s, state.counts, state.n_gen)
+    logprobs = _filter_logits(logits, s, state.counts, state.n_gen, state.est_len)
     u = jnp.take_along_axis(state.uniforms,
                             jnp.minimum(state.n_gen, s.max_len - 1)[None, :],
                             axis=0)[0]  # (bs,)
@@ -222,7 +224,7 @@ def _sample_and_update(logits, state: DecodeState, s: ArSampling) -> DecodeState
 
 
 def _init_state(params, cfg: CodecLMConfig, s: ArSampling, prompt_padded,
-                prompt_len, spk_codes, uniforms) -> DecodeState:
+                prompt_len, spk_codes, uniforms, est_len=None) -> DecodeState:
     """Prefill + first sample: builds a ready-to-decode DecodeState (any bs)."""
     bs, pb = prompt_padded.shape
     window = min(cfg.sliding_window, s.max_len + 1)
@@ -245,12 +247,15 @@ def _init_state(params, cfg: CodecLMConfig, s: ArSampling, prompt_padded,
     tokens = jnp.zeros((bs, s.max_len), jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt_padded.astype(jnp.int32), (0, 0))
 
+    if est_len is None:
+        est_len = jnp.full((bs,), s.n_phones_gen, jnp.int32)
     init = DecodeState(
         tokens=tokens, cur=prompt_len.astype(jnp.int32),
         n_gen=jnp.zeros((bs,), jnp.int32),
         cache_k=cache_k, cache_v=cache_v,
         counts=jnp.zeros((bs, cfg.n_vocab), jnp.int32),
-        uniforms=uniforms, done=jnp.zeros((bs,), bool),
+        uniforms=uniforms, est_len=est_len.astype(jnp.int32),
+        done=jnp.zeros((bs,), bool),
     )
     # first sample comes from the prefill logits
     return _sample_and_update(last_logits, init, s)
@@ -268,7 +273,7 @@ def _decode_body(params, cfg: CodecLMConfig, s: ArSampling, st: DecodeState) -> 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "s"))
 def _generate_jit(params, cfg: CodecLMConfig, s: ArSampling, prompt_padded,
-                  prompt_len, spk_codes, uniforms):
+                  prompt_len, spk_codes, uniforms, est_len=None):
     """Compiled end-to-end batched generation.
 
     Args:
@@ -279,7 +284,8 @@ def _generate_jit(params, cfg: CodecLMConfig, s: ArSampling, prompt_padded,
     Returns:
         (tokens (bs, max_len), final_len (bs,), n_gen (bs,)).
     """
-    state = _init_state(params, cfg, s, prompt_padded, prompt_len, spk_codes, uniforms)
+    state = _init_state(params, cfg, s, prompt_padded, prompt_len, spk_codes,
+                        uniforms, est_len)
     final = jax.lax.while_loop(
         lambda st: ~jnp.all(st.done),
         lambda st: _decode_body(params, cfg, s, st),
@@ -289,10 +295,11 @@ def _generate_jit(params, cfg: CodecLMConfig, s: ArSampling, prompt_padded,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "s"))
 def prefill_row(params, cfg: CodecLMConfig, s: ArSampling, prompt_padded,
-                prompt_len, spk_codes, uniforms) -> DecodeState:
+                prompt_len, spk_codes, uniforms, est_len=None) -> DecodeState:
     """Single-request prefill for continuous batching: a bs=1 DecodeState with
     the first token already sampled (insertable into a batch via insert_row)."""
-    return _init_state(params, cfg, s, prompt_padded, prompt_len, spk_codes, uniforms)
+    return _init_state(params, cfg, s, prompt_padded, prompt_len, spk_codes,
+                       uniforms, est_len)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "s", "n_steps"))
@@ -329,6 +336,7 @@ def insert_row(state: DecodeState, row: DecodeState, b) -> DecodeState:
         counts=jax.lax.dynamic_update_slice(state.counts, row.counts, (b, 0)),
         uniforms=jax.lax.dynamic_update_slice(
             state.uniforms, row.uniforms, (0, b)),
+        est_len=state.est_len.at[b].set(row.est_len[0]),
         done=state.done.at[b].set(row.done[0]),
     )
 
@@ -345,6 +353,7 @@ def make_parked_state(cfg: CodecLMConfig, s: ArSampling, bs: int,
         cache_v=jnp.zeros((cfg.n_layers, bs, window, cfg.n_kv_heads, cfg.head_dim), dtype),
         counts=jnp.zeros((bs, cfg.n_vocab), jnp.int32),
         uniforms=jnp.zeros((s.max_len, bs), jnp.float32),
+        est_len=jnp.zeros((bs,), jnp.int32),
         done=jnp.ones((bs,), bool),
     )
 
@@ -354,7 +363,8 @@ def _bucket(n: int, step: int = 64) -> int:
 
 
 def ar_generate_batched(params, cfg: CodecLMConfig, prompts, spk_codes_list, *,
-                        sampling: ArSampling, uniforms=None, seed: int = 0):
+                        sampling: ArSampling, uniforms=None, seed: int = 0,
+                        est_lens=None):
     """Batched generation over variable-length prompts (bucketed static shapes).
 
     Args:
@@ -389,9 +399,11 @@ def ar_generate_batched(params, cfg: CodecLMConfig, prompts, spk_codes_list, *,
         if uniforms.ndim == 1:
             uniforms = uniforms[:, None]
 
+    est = (jnp.asarray(est_lens, jnp.int32) if est_lens is not None
+           else jnp.full((bs,), sampling.n_phones_gen, jnp.int32))
     tokens, final_len, n_gen = _generate_jit(
         params, cfg, sampling, jnp.asarray(prompt_padded),
-        jnp.asarray(prompt_len), jnp.asarray(spk), uniforms)
+        jnp.asarray(prompt_len), jnp.asarray(spk), uniforms, est)
     tokens = np.asarray(tokens)
     final_len = np.asarray(final_len)
     n_gen = np.asarray(n_gen)

@@ -245,3 +245,132 @@ class Mars5TTS:
 
         self.last_timing = timer.report(audio_seconds=len(final_audio) / self.sr)
         return gen_codes_decoded, final_audio
+
+    def tts_batch(self, texts, ref_audio, ref_transcript: Optional[str] = None,
+                  cfg: Optional[InferenceConfig] = None, seed: int = 0):
+        """Batched synthesis: several texts in one shared reference voice.
+
+        BASELINE config #3 as a public API: one Encodec encode, one bucketed
+        batched AR decode (per-row prompts/cursors/EOS-length estimates), one
+        batched NAR diffusion over padded rows, batched vocoding. Per-text
+        sampling follows the same reference semantics as ``tts``.
+
+        Returns a list of ``(ar_codes, waveform)`` pairs, one per text.
+        """
+        from .models.ar_decode import ar_generate_batched
+        from .models.vocos import codes_to_features, vocos_decode
+
+        cfg = cfg or InferenceConfig()
+        timer = StageTimer()
+        if cfg.deep_clone and ref_transcript is None:
+            raise AssertionError(
+                "Inference config deep clone is set to true, but reference "
+                "transcript not specified! Please specify the transcript of the "
+                "prompt, or set deep_clone=False in the inference `cfg` argument.")
+
+        with timer.stage("encode_reference"):
+            prompt_codec = np.asarray(self.encode_reference(ref_audio))  # (1, n_q, S)
+        raw_prompt_acoustic_len = prompt_codec.shape[-1]
+
+        with timer.stage("tokenize"):
+            q0_str = " ".join(str(t) for t in prompt_codec[0, 0].tolist())
+            speech_tokens = self.speechtok.encode(q0_str.strip())
+            offset_speech = [p + len(self.texttok.vocab) for p in speech_tokens]
+
+            prompts, first_codec_idxs, text_token_rows, est_lens = [], [], [], []
+            for text in texts:
+                text_tokens = self.texttok.encode(
+                    "<|startoftext|>" + text.strip() + "<|endoftext|>",
+                    allowed_special="all")
+                text_tokens_full = self.texttok.encode(
+                    "<|startoftext|>" + ref_transcript + " " + str(text).strip()
+                    + "<|endoftext|>", allowed_special="all")
+                if cfg.deep_clone:
+                    row_tokens = text_tokens_full
+                    n_speech_inp = len(offset_speech)
+                    prompt = row_tokens + offset_speech
+                else:
+                    row_tokens = text_tokens
+                    n_speech_inp = 0
+                    prompt = row_tokens
+                prompts.append(np.asarray(prompt, np.int64))
+                first_codec_idxs.append(len(prompt) - n_speech_inp + 1)
+                text_token_rows.append(row_tokens)
+                est_lens.append(round(cfg.eos_estimated_gen_length_factor * len(text)))
+
+        with timer.stage("ar_generate"):
+            max_len = cfg.generate_max_len_override if cfg.generate_max_len_override > 1 else 2000
+            sampling = ArSampling(
+                temperature=cfg.temperature, top_k=cfg.top_k, top_p=cfg.top_p,
+                typical_p=cfg.typical_p, alpha_frequency=cfg.freq_penalty,
+                alpha_presence=cfg.presence_penalty,
+                penalty_window=cfg.rep_penalty_window,
+                eos_penalty_decay=cfg.eos_penalty_decay,
+                eos_penalty_factor=cfg.eos_penalty_factor,
+                n_phones_gen=max(est_lens),
+                eos_idx=len(self.texttok.vocab) + self.speechtok.special_tokens["<|endofspeech|>"],
+                valid_start=len(self.texttok.vocab),
+                valid_end=len(self.texttok.vocab) + len(self.speechtok.vocab) + 1,
+                max_len=max_len)
+            spk_list = [prompt_codec[0].T] * len(texts)
+            outs = ar_generate_batched(self.codeclm, self.ar_cfg, prompts, spk_list,
+                                       sampling=sampling, seed=seed,
+                                       est_lens=np.asarray(est_lens))
+
+        with timer.stage("parse_ar"):
+            rows = []
+            for (seq, _), fci in zip(outs, first_codec_idxs):
+                toks = np.clip(seq - len(self.texttok.vocab), 0, None)[fci:].tolist()
+                decoded = self.speechtok.decode_int(toks)
+                rows.append(np.asarray([s for s in decoded if isinstance(s, int)],
+                                       np.int64))
+
+        with timer.stage("nar_diffusion"):
+            bs = len(texts)
+            lt = max(len(r) for r in text_token_rows)
+            lx = max(max(len(r) for r in rows), 1)
+            c_text = np.zeros((bs, lt), np.int64)
+            ctl = np.zeros((bs,), np.int64)
+            _x = np.zeros((bs, lx, 8), np.int64)
+            xpm = np.ones((bs, lx), bool)
+            for i, (tr, row) in enumerate(zip(text_token_rows, rows)):
+                c_text[i, : len(tr)] = tr
+                ctl[i] = len(tr)
+                _x[i, : len(row)] = row[:, None]
+                xpm[i, : len(row)] = False
+            c_codes = np.repeat(prompt_codec.transpose(0, 2, 1), bs, axis=0)
+            ccl = np.full((bs,), c_codes.shape[1], np.int64)
+
+            T = cfg.timesteps or self.default_T
+            diff = MultinomialDiffusion(self.diffusion_n_classes, timesteps=T)
+            dsh = DSH(last_greedy=True, x_0_temp=cfg.x_0_temp,
+                      guidance_w=cfg.nar_guidance_w, deep_clone=cfg.deep_clone,
+                      jump_len=1, jump_n_sample=1,
+                      q0_override_steps=cfg.q0_override_steps,
+                      enable_kevin_scaled_inference=True, progress=False)
+            grid = perform_simple_inference(
+                self.codecnar, self.nar_cfg,
+                (c_text, c_codes, ctl, ccl, _x, xpm),
+                diff, diff.num_timesteps, dsh, retain_quant0=True,
+                key=jax.random.key(seed + 1, impl="rbg"))
+            skip_front = raw_prompt_acoustic_len if cfg.deep_clone else 0
+            grid = np.asarray(grid)[:, skip_front:]
+
+        with timer.stage("vocode"):
+            self._require_vocoder()
+            feats = codes_to_features(self.vocos["codebook_weights"],
+                                      jnp.asarray(grid.transpose(2, 0, 1)),
+                                      bins=self.vocos_cfg.codebook_size)
+            audio = np.asarray(vocos_decode(self.vocos, self.vocos_cfg, feats, 1))
+
+        with timer.stage("trim"):
+            results = []
+            hop = self.vocos_cfg.hop_length
+            for i, row in enumerate(rows):
+                wav = audio[i, : len(row) * hop]
+                wav, _ = trim(wav, top_db=cfg.trim_db)
+                results.append((rows[i], wav))
+
+        total_audio = sum(len(w) for _, w in results) / self.sr
+        self.last_timing = timer.report(audio_seconds=total_audio)
+        return results

@@ -93,3 +93,19 @@ def test_tts_shallow_none_transcript_typeerror(tiny_mars5):
     with pytest.raises(TypeError):
         mars5.tts("x", _ref_audio(), ref_transcript=None,
                   cfg=InferenceConfig(deep_clone=False))
+
+
+def test_tts_batch(tiny_mars5):
+    """Batched public API (config #3): several texts, one reference voice."""
+    from mars5_tts_tpu import InferenceConfig
+
+    mars5, _ = tiny_mars5
+    cfg = InferenceConfig(deep_clone=False, generate_max_len_override=140,
+                          timesteps=6, trim_db=200)
+    texts = ["one", "two here", "and three"]
+    results = mars5.tts_batch(texts, _ref_audio(), ref_transcript="", cfg=cfg, seed=2)
+    assert len(results) == 3
+    for codes, wav in results:
+        assert codes.ndim == 1 and (codes >= 0).all() and (codes < 1024).all()
+        assert wav.ndim == 1 and np.isfinite(wav).all()
+    assert "ar_generate" in mars5.last_timing["stages_s"]
