@@ -374,3 +374,44 @@ class Mars5TTS:
         total_audio = sum(len(w) for _, w in results) / self.sr
         self.last_timing = timer.report(audio_seconds=total_audio)
         return results
+
+    @classmethod
+    def from_pretrained(cls, model_id: str = "CAMB-AI/MARS5-TTS", *,
+                        revision: Optional[str] = None,
+                        cache_dir: Optional[str] = None, **kwargs) -> "Mars5TTS":
+        """HF-hub-style loader (reference ``Mars5TTS._from_pretrained``,
+        inference.py:123-158): downloads/locates ``mars5_ar.safetensors`` and
+        ``mars5_nar.safetensors`` for ``model_id`` and builds the pipeline.
+
+        Uses ``huggingface_hub`` when installed; otherwise falls back to an
+        already-populated HF cache or MARS5_CACHE directory (zero-egress envs).
+        """
+        import os
+        from pathlib import Path
+
+        names = ("mars5_ar.safetensors", "mars5_nar.safetensors")
+        try:
+            from huggingface_hub import hf_hub_download
+            paths = [hf_hub_download(repo_id=model_id, filename=n, revision=revision,
+                                     cache_dir=cache_dir) for n in names]
+        except ImportError:
+            search = [Path(cache_dir) if cache_dir else None,
+                      Path(os.environ.get("MARS5_CACHE", "~/.cache/mars5_tts_tpu")).expanduser(),
+                      Path(os.environ.get("HF_HOME", "~/.cache/huggingface")).expanduser()]
+            paths = []
+            for name in names:
+                found = None
+                for root in search:
+                    if root is None or not root.exists():
+                        continue
+                    hits = sorted(root.rglob(name))
+                    if hits:
+                        found = hits[0]
+                        break
+                if found is None:
+                    raise FileNotFoundError(
+                        f"{name} not found (huggingface_hub not installed and no "
+                        f"cached copy under {[str(s) for s in search if s]}); "
+                        f"download the checkpoints and use Mars5TTS.from_local")
+                paths.append(found)
+        return cls.from_local(paths[0], paths[1], **kwargs)
