@@ -1,0 +1,105 @@
+"""Continuous-batching AR throughput at released-model geometry.
+
+Streams N_REQ deep-clone-shaped requests (staggered arrivals) through a
+ROWS-row ContinuousBatcher and reports AR seconds-of-audio per second per chip
+(the AR stage is the serving loop's latency-critical path; NAR refinement runs
+as a downstream batch stage — see bench_batched.py).
+
+Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/mars5_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+N_REQ = int(os.environ.get("N_REQ", "12"))
+ROWS = int(os.environ.get("ROWS", "4"))
+CHUNK = int(os.environ.get("CHUNK", "64"))
+GEN_FRAMES = 750  # 10 s each
+
+
+def main():
+    import bench
+
+    from mars5_tts_tpu.models.ar_decode import ArSampling
+    from mars5_tts_tpu.models.encodec import encodec_encode
+    from mars5_tts_tpu.serving import ContinuousBatcher, Request
+
+    cfgs, params = bench.build()
+    ar_cfg, nar_cfg, enc_cfg, voc_cfg = cfgs
+    ar, nar, enc, voc = params
+    rng = np.random.default_rng(0)
+
+    ref = (rng.standard_normal(6 * 24000) * 0.1).astype(np.float32)
+    prompt_codec = np.asarray(encodec_encode(enc, enc_cfg, jnp.asarray(ref)[None, None]))
+    n_text = 4096
+    spk = prompt_codec[0].T
+
+    prompt_bucket = 576
+    max_len = prompt_bucket + GEN_FRAMES
+    sampling = ArSampling(temperature=0.7, top_k=200, top_p=0.2,
+                          alpha_frequency=3.0, alpha_presence=0.4,
+                          penalty_window=80, eos_penalty_decay=0.5,
+                          eos_penalty_factor=1.0, n_phones_gen=10_000, eos_idx=0,
+                          valid_start=n_text, valid_end=24_001, max_len=max_len)
+
+    def make_request(i):
+        text_len = 40 + (i % 5) * 8
+        prompt = np.concatenate([rng.integers(0, n_text, text_len),
+                                 prompt_codec[0, 0] + n_text])
+        return Request(prompt=prompt, spk_codes=spk, seed=i)
+
+    # warmup: compile prefill + chunk
+    warm = ContinuousBatcher(ar, ar_cfg, sampling, batch_size=ROWS,
+                             chunk_steps=CHUNK, prompt_bucket=prompt_bucket,
+                             spk_bucket=512, dtype=jnp.bfloat16)
+    warm.submit(make_request(0))
+    warm.step()
+    warm.run(max_quanta=40)
+
+    batcher = ContinuousBatcher(ar, ar_cfg, sampling, batch_size=ROWS,
+                                chunk_steps=CHUNK, prompt_bucket=prompt_bucket,
+                                spk_bucket=512, dtype=jnp.bfloat16)
+    reqs = [make_request(i + 1) for i in range(N_REQ)]
+    # staggered arrivals: half up front, the rest fed as quanta complete
+    for r in reqs[: N_REQ // 2]:
+        batcher.submit(r)
+    pending = list(reqs[N_REQ // 2:])
+
+    t0 = time.perf_counter()
+    while True:
+        if pending:
+            batcher.submit(pending.pop(0))
+        if not batcher.step():
+            break
+    wall = time.perf_counter() - t0
+
+    assert len(batcher.completed) == N_REQ
+    frames = sum(r.n_gen for r in batcher.completed)
+    audio_s = frames / 75.0
+    # each request should have decoded its full budget (eos unreachable)
+    print(json.dumps({
+        "metric": "continuous_ar_throughput_audio_s_per_s",
+        "value": round(audio_s / wall, 3),
+        "unit": "s/s/chip",
+        "detail": {"requests": N_REQ, "rows": ROWS, "chunk_steps": CHUNK,
+                   "wall_s": round(wall, 2), "quanta": batcher.chunks_run,
+                   "frames": int(frames)},
+    }))
+
+
+if __name__ == "__main__":
+    main()
