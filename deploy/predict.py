@@ -14,12 +14,20 @@ from pathlib import Path
 
 
 class Predictor:
-    def setup(self, ar_path=None, nar_path=None):
+    def setup(self, ar_path=None, nar_path=None, encodec_path=None, vocos_path=None):
+        from mars5_tts_tpu.hub import load_codec_params
         from mars5_tts_tpu.pipeline import Mars5TTS
 
         ar_path = ar_path or os.environ.get("MARS5_AR_CKPT", "mars5_ar.safetensors")
         nar_path = nar_path or os.environ.get("MARS5_NAR_CKPT", "mars5_nar.safetensors")
-        self.model = Mars5TTS.from_local(ar_path, nar_path)
+        encodec_path = encodec_path or os.environ.get("MARS5_ENCODEC_CKPT")
+        vocos_path = vocos_path or os.environ.get("MARS5_VOCOS_CKPT")
+        kwargs = {}
+        if encodec_path:
+            kwargs["encodec_params"] = load_codec_params(encodec_path, "encodec")
+        if vocos_path:
+            kwargs["vocos_params"] = load_codec_params(vocos_path, "vocos")
+        self.model = Mars5TTS.from_local(ar_path, nar_path, **kwargs)
 
     def predict(self, text: str, ref_audio: str, ref_transcript: str,
                 top_k: int = 100, temperature: float = 0.7,
