@@ -132,6 +132,11 @@ def main():
     cfgs, params = build()
     # warmup / compile
     run_once(cfgs, params, seed=0)
+    profile_dir = os.environ.get("MARS5_PROFILE")
+    if profile_dir:
+        # one profiled run (SURVEY §5.1: trace the AR-decode and DDPM loops)
+        with jax.profiler.trace(profile_dir):
+            run_once(cfgs, params, seed=99)
     timings = []
     totals = [run_once(cfgs, params, seed=i + 1, timings=timings)
               for i in range(BENCH_RUNS)]

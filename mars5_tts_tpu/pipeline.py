@@ -86,6 +86,7 @@ class Mars5TTS:
         self.sr = 24000
         self.latent_sr = 75
         self.last_timing: dict = {}
+        self._last_ar_runaway = False
 
     @classmethod
     def from_local(cls, ar_path, nar_path, **kwargs) -> "Mars5TTS":
@@ -129,12 +130,28 @@ class Mars5TTS:
 
     # --------------------------------------------------------------------- tts
     def tts(self, text: str, ref_audio, ref_transcript: Optional[str] = None,
-            cfg: Optional[InferenceConfig] = None, seed: int = 0):
+            cfg: Optional[InferenceConfig] = None, seed: int = 0,
+            max_retries: int = 0):
         """Synthesize ``text`` in the voice of ``ref_audio``.
 
         Returns ``(ar_codes (seq_len,) int L0 ids, waveform (T,) float 24 kHz)``,
         as the reference does (inference.py:201-307).
+
+        ``max_retries``: optional retry-on-runaway-decode policy (SURVEY §5.3):
+        when the AR hits its max length without EOS (the reference merely warns
+        and returns the truncated beam), retry with a reseeded sampler up to
+        this many times before accepting the truncated output.
         """
+        if max_retries:
+            for attempt in range(max_retries + 1):
+                result = self.tts(text, ref_audio, ref_transcript, cfg,
+                                  seed=seed + 1000 * attempt)
+                if not self._last_ar_runaway or attempt == max_retries:
+                    return result
+                logging.warning("runaway AR decode; retrying (%d/%d)",
+                                attempt + 1, max_retries)
+            return result
+
         cfg = cfg or InferenceConfig()
         timer = StageTimer()
 
@@ -201,6 +218,13 @@ class Mars5TTS:
                 max_len=max_len)
             ar_codes, _ = ar_generate(self.codeclm, self.ar_cfg, prompt,
                                       spk_ref_codec, sampling=sampling, seed=seed)
+            self._last_ar_runaway = len(ar_codes) >= max_len - 1
+            if self._last_ar_runaway:
+                # preserved reference behavior (mars5/ar_generate.py:160-162):
+                # degrade gracefully with the truncated sequence, but say so
+                logging.warning(
+                    "[autoregressive generation] output length = %d -- inference "
+                    "likely failed or input too long!", len(ar_codes))
 
         with timer.stage("parse_ar"):
             output_tokens = np.clip(ar_codes - len(self.texttok.vocab), 0, None)
