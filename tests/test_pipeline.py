@@ -109,3 +109,21 @@ def test_tts_batch(tiny_mars5):
         assert codes.ndim == 1 and (codes >= 0).all() and (codes < 1024).all()
         assert wav.ndim == 1 and np.isfinite(wav).all()
     assert "ar_generate" in mars5.last_timing["stages_s"]
+
+
+def test_longform_end_to_end(tiny_mars5):
+    """synthesize_longform drives tts() per chunk and stitches (config #4)."""
+    from mars5_tts_tpu import InferenceConfig
+    from mars5_tts_tpu.serving import synthesize_longform
+
+    mars5, _ = tiny_mars5
+    cfg = InferenceConfig(deep_clone=False, generate_max_len_override=120,
+                          timesteps=6, trim_db=200)
+    text = "First sentence here. Second one follows! A third ends it."
+    result = synthesize_longform(mars5, text, _ref_audio(), ref_transcript="",
+                                 cfg=cfg, max_chars=25, seed=0)
+    assert len(result.chunks) >= 2
+    assert len(result.timings) == len(result.chunks)
+    assert len(result.audio) > 0 and np.isfinite(result.audio).all()
+    assert abs(sum(result.chunk_audio_seconds) * 24000 - len(result.audio)) < \
+        24000  # stitching only adds/removes fades+gaps
