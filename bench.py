@@ -37,6 +37,15 @@ AUDIO_SECONDS = 10.0
 REF_SECONDS = 6.0
 
 
+# AR decode mode: "fused" (default; int8 Pallas megakernel, the production
+# serving config) | "int8" (XLA weight-only int8) | "bf16" (XLA bf16 parity path)
+BENCH_AR = os.environ.get("BENCH_AR",
+                          "int8" if os.environ.get("BENCH_INT8") == "1" else "fused")
+# deep-clone prompt geometry is static: 60 text tokens + 450 codec frames
+_PROMPT_LEN = 60 + 450
+_MAX_LEN = _PROMPT_LEN + 750
+
+
 def build():
     from mars5_tts_tpu.models.ar import CodecLMConfig, init_codeclm
     from mars5_tts_tpu.models.encodec import EncodecConfig, init_encodec
@@ -51,13 +60,17 @@ def build():
     voc_cfg = VocosConfig.mars5()
 
     ar = init_codeclm(key, ar_cfg, dtype=jnp.bfloat16)
-    if os.environ.get("BENCH_INT8") == "1":
+    fused = None
+    if BENCH_AR == "fused":
+        from mars5_tts_tpu.models.ar_decode_fused import prepare_fused
+        fused = prepare_fused(ar, ar_cfg, max_len=_MAX_LEN)  # (bundle, dims)
+    elif BENCH_AR == "int8":
         from mars5_tts_tpu.ops.quant import quantize_codeclm
         ar = quantize_codeclm(ar)
     nar = init_nar(jax.random.fold_in(key, 1), nar_cfg, dtype=jnp.bfloat16)
     enc = init_encodec(jax.random.fold_in(key, 2), enc_cfg)
     voc = init_vocos(jax.random.fold_in(key, 3), voc_cfg)
-    return (ar_cfg, nar_cfg, enc_cfg, voc_cfg), (ar, nar, enc, voc)
+    return (ar_cfg, nar_cfg, enc_cfg, voc_cfg), (ar, nar, enc, voc, fused)
 
 
 def run_once(cfgs, params, seed=0, timings=None):
@@ -69,7 +82,7 @@ def run_once(cfgs, params, seed=0, timings=None):
     from mars5_tts_tpu.utils.profiling import StageTimer
 
     ar_cfg, nar_cfg, enc_cfg, voc_cfg = cfgs
-    ar, nar, enc, voc = params
+    ar, nar, enc, voc, fused = params
     timer = StageTimer()
     rng = np.random.default_rng(seed)
 
@@ -99,8 +112,15 @@ def run_once(cfgs, params, seed=0, timings=None):
         valid_start=n_text, valid_end=n_text + n_speech_vocab + 1,
         max_len=max_len)
     with timer.stage("ar_decode"):
-        tokens, n_gen = ar_generate(ar, ar_cfg, prompt, prompt_codec[0].T,
-                                    sampling=sampling, seed=seed)
+        if fused is not None:
+            from mars5_tts_tpu.models.ar_decode_fused import ar_generate_fused
+            fp, dims = fused
+            tokens, n_gen = ar_generate_fused(
+                ar, fp, ar_cfg, dims, prompt, prompt_codec[0].T,
+                sampling=sampling, seed=seed)
+        else:
+            tokens, n_gen = ar_generate(ar, ar_cfg, prompt, prompt_codec[0].T,
+                                        sampling=sampling, seed=seed)
     assert n_gen == gen_frames, f"AR generated {n_gen} != {gen_frames}"
 
     l0 = (tokens[len(prompt):] - n_text).clip(0, 1023)
@@ -150,6 +170,7 @@ def main():
         "vs_baseline": round(TARGET_RTF / rtf, 4),
         "detail": {"p50_total_s": round(p50, 3),
                    "stages_s": {k: round(v, 3) for k, v in stages_p50.items()},
+                   "ar_mode": BENCH_AR,
                    "device": str(jax.devices()[0])},
     }))
 

@@ -33,11 +33,12 @@ def swiglu_ff(p, x):
 
     W and V are stored fused as ``WV`` (2F, D): one matmul then split (output
     rows are independent, so this is bitwise-identical to two dots and halves
-    the latency-bound matmul count).
+    the latency-bound matmul count). Kernels may be int8 dicts (ops/quant.py).
     """
-    wv = linear(x, p["WV"])
+    from ..ops.quant import linear_any
+    wv = linear_any(x, p["WV"])
     w_out, v_out = jnp.split(wv, 2, axis=-1)
-    return linear(jax.nn.silu(w_out) * v_out, p["lin2_w"], p["lin2_b"])
+    return linear_any(jax.nn.silu(w_out) * v_out, p["lin2_w"], p["lin2_b"])
 
 
 def encoder_layer(p, x, nhead: int, key_padding_mask=None):

@@ -126,11 +126,12 @@ def nar_forward(p, cfg: ResidualTransformerConfig, c_text, c_codes, c_texts_leng
                         memory_key_padding_mask=c_padding)
 
     # 8 heads: LayerNorm(eps=1e-5, torch default) -> Linear(dim -> n_quant)
+    from ..ops.quant import index_quant, linear_any
     rd = p["residual_decoder"]
 
     def head(i):
         hn = layer_norm(out, rd["ln_w"][i], rd["ln_b"][i], eps=1e-5)
-        return linear(hn, rd["lin_w"][i], rd["lin_b"][i])
+        return linear_any(hn, index_quant(rd["lin_w"], i), rd["lin_b"][i])
 
     logits = jnp.stack([head(i) for i in range(cfg.pred_quant_levels)], axis=2)
     return logits  # (bs, Lx, n_q, n_quant)

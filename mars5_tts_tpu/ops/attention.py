@@ -70,6 +70,8 @@ def torch_mha(p, q_in, kv_in, nhead: int, key_padding_mask=None):
     (scores never hit HBM; ~1.4x per layer at NAR geometry); short sequences and
     cross-attention stay on the fused XLA path.
     """
+    from .quant import linear_any, slice_rows
+
     d = q_in.shape[-1]
     b, lq = q_in.shape[:2]
     lk = kv_in.shape[1]
@@ -77,12 +79,15 @@ def torch_mha(p, q_in, kv_in, nhead: int, key_padding_mask=None):
     # so splitting after is bitwise-identical to three separate dots); for
     # cross-attention, a q dot + one fused kv dot. Matmul count matters: TPU
     # op cost at these shapes is latency-bound, not FLOP-bound.
+    # Kernels may be int8 {"q","s"} dicts (weight-only or W8A8, ops/quant.py).
     if q_in is kv_in:
-        qkv = linear(q_in, p["in_proj_w"], p["in_proj_b"])
+        qkv = linear_any(q_in, p["in_proj_w"], p["in_proj_b"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
     else:
-        q = linear(q_in, p["in_proj_w"][:d], p["in_proj_b"][:d])
-        kv = linear(kv_in, p["in_proj_w"][d:], p["in_proj_b"][d:])
+        q = linear_any(q_in, slice_rows(p["in_proj_w"], slice(None, d)),
+                       p["in_proj_b"][:d])
+        kv = linear_any(kv_in, slice_rows(p["in_proj_w"], slice(d, None)),
+                        p["in_proj_b"][d:])
         k, v = jnp.split(kv, 2, axis=-1)
     q = q.reshape(b, lq, nhead, d // nhead)
     k = k.reshape(b, lk, nhead, d // nhead)
@@ -93,13 +98,13 @@ def torch_mha(p, q_in, kv_in, nhead: int, key_padding_mask=None):
         if _pallas_enabled():
             from .pallas.mha import sdpa_pallas
             out = sdpa_pallas(q, k, v, key_padding_mask)
-            return linear(out.reshape(b, lq, d), p["out_w"], p["out_b"])
+            return linear_any(out.reshape(b, lq, d), p["out_w"], p["out_b"])
 
     mask = None
     if key_padding_mask is not None:
         mask = ~key_padding_mask[:, None, None, :]  # True = keep
     out = sdpa(q, k, v, mask)
-    return linear(out.reshape(b, lq, d), p["out_w"], p["out_b"])
+    return linear_any(out.reshape(b, lq, d), p["out_w"], p["out_b"])
 
 
 def banded_causal_mask(length: int, window: int, dtype=jnp.float32):

@@ -1,0 +1,575 @@
+"""Fused int8 decode-LAYER megakernel: one Pallas program per AR decode step.
+
+The reference's decode hot path is a Python per-token loop over 26 torch
+transformer blocks (mars5/nn_future.py:235-274, mars5/ar_generate.py:62-157).
+The XLA redesign (models/ar_decode.py) made that one jitted while_loop; this
+kernel attacks the remaining per-step HBM traffic. Measured on the target chip
+(see scripts/bench_kernels.py): practical HBM read bandwidth is ~470 GB/s, XLA's
+bf16 step streams 1.62 GB (3.36 ms) and its int8-weight step still needs 2.6 ms
+because dequant + separate dots leave the DMA engine idle between ops. Here the
+whole 26-layer step is ONE Pallas program:
+
+* all block weights live in HBM as ONE packed int8 buffer, (L*16896, 1536):
+  per layer [wq | wk | wv | wo | w1 | w3 | w2ᵀ] rows, every matmul stored with
+  its contraction axis along columns (w2 transposed) so the stream is uniform;
+* the program runs a fori_loop over L*10 chunk-steps, manually double-buffering
+  chunk DMAs (measured 442 GB/s with int8 dots overlapped vs 290 GB/s for the
+  automatic grid pipeline at the same shapes);
+* chunk sizes are stage-exact (1536 rows for q/k/v/wo, hidden/2=1792 for the
+  FFN pieces) — zero padding, zero wasted bytes;
+* matmuls are W8A8: activations are dynamically quantized per token and dotted
+  int8×int8→int32 on the MXU, so weights are never dequantized (no VPU pass
+  over 675 MB) and scales apply to the tiny (8, out) results;
+* the ring-buffer KV cache (layer-flat (L, W_pad, d) bf16) is DMA'd one layer
+  ahead (K/V of layer l+1 start right after layer l's attention consumed them);
+* attention is transpose-free: scoresᵀ(H, W) = (H_maskᵀ ⊙ q_flat) @ Kᵀ in one
+  MXU dot, softmax along lanes, out_all(H, d) = pᵀ @ V in a second dot, then a
+  per-head mask-fold collapses the block diagonal — no (W, d) temporaries, no
+  per-head unrolled dots (the round-1 attention-only kernel lost to XLA on
+  exactly those);
+* the current token contributes via an explicit self column (cache slot masked)
+  matching models/ar_decode._decode_attention, and the new K/V rows are returned
+  as (L, d) outputs for a single dynamic_update_slice outside.
+
+The kernel computes hidden states only; embedding, final RMSNorm, the output
+head (int8, XLA), and the sampling pipeline stay outside. Runs in interpret
+mode on CPU for tests; numerics are validated against a pure-jnp emulation
+(fused_step_emulation) implementing bit-identical quantized math.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NBUF = 2  # weight-chunk double buffering (measured: deeper buffers don't help)
+
+
+@dataclass(frozen=True)
+class FusedDims:
+    """Static geometry of the fused decode step."""
+
+    n_layers: int
+    dim: int            # model dim (multiple of 128)
+    hidden: int         # FFN hidden dim (hidden/2 multiple of 128)
+    n_heads: int
+    head_dim: int       # dim == n_heads * head_dim; even
+    window: int         # ring window (logical)
+    w_pad: int          # cache leading dim, window rounded up to 128
+
+    @property
+    def fch(self) -> int:
+        return self.hidden // 2
+
+    @property
+    def rows_per_layer(self) -> int:
+        return 4 * self.dim + 2 * self.hidden + self.hidden  # qkv+wo, w1+w3, w2t
+
+    # pack row offsets of the 10 chunk stages within a layer
+    @property
+    def stage_offsets(self):
+        d, f = self.dim, self.fch
+        return (0, d, 2 * d, 3 * d,                       # wq wk wv wo
+                4 * d, 4 * d + f, 4 * d + 2 * f, 4 * d + 3 * f,  # w1a w1b w3a w3b
+                4 * d + 4 * f, 4 * d + 5 * f)             # w2t a, b
+
+    @property
+    def stage_rows(self):
+        d, f = self.dim, self.fch
+        return (d, d, d, d, f, f, f, f, f, f)
+
+
+def _quant_rows(x):
+    """Per-row dynamic int8 quantization of a (rows, d) f32 block."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
+def _rms(x, w, eps):
+    n = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    return n * w
+
+
+def _make_kernel(dims: FusedDims, norm_eps: float):
+    L, d, H, Dh = dims.n_layers, dims.dim, dims.n_heads, dims.head_dim
+    f, fch = dims.hidden, dims.fch
+    W, Wp = dims.window, dims.w_pad
+    RPL = dims.rows_per_layer
+    offs, rows = dims.stage_offsets, dims.stage_rows
+    n_steps = L * 10
+    scale = 1.0 / (Dh ** 0.5)
+
+    def kernel(pos_ref, x_ref, cosf_ref, sinf_ref, hmask_ref,
+               pack_ref, scales_ref, w2s_ref, attn_n_ref, ffn_n_ref,
+               ck_ref, cv_ref,
+               h_out_ref, knew_ref, vnew_ref,
+               wbuf, sbuf, kbuf, vbuf,
+               h, qb, kb, vb, w1b, w3b, uq, us, acc,
+               wsem, ssem, ksem, vsem):
+        pos = pos_ref[0, 0]
+        cur_slot = jax.lax.rem(pos, W)
+
+        def wdma_c(c_static, slot, l):
+            off = l * RPL + offs[c_static]
+            r = rows[c_static]
+            return pltpu.make_async_copy(
+                pack_ref.at[pl.ds(off, r)], wbuf.at[slot, pl.ds(0, r)],
+                wsem.at[slot])
+
+        def sdma_c(slot, chunk_idx):
+            return pltpu.make_async_copy(
+                scales_ref.at[chunk_idx], sbuf.at[slot], ssem.at[slot])
+
+        def kdma(l):
+            return pltpu.make_async_copy(ck_ref.at[l], kbuf, ksem)
+
+        def vdma(l):
+            return pltpu.make_async_copy(cv_ref.at[l], vbuf, vsem)
+
+        # prologue: first NBUF weight chunks + layer-0 cache
+        for i in range(NBUF):
+            wdma_c(i, i, 0).start()
+            sdma_c(i, i).start()
+        kdma(0).start()
+        vdma(0).start()
+
+        h[:] = x_ref[:].astype(jnp.float32)
+
+        # ring-slot validity, shared across layers: slot s holds position
+        # pos - ((pos - s) mod W); negative = unwritten. Slots >= W are padding.
+        slots = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
+        slot_pos = pos - jax.lax.rem(pos - slots + 4 * W, W)
+        valid = (slot_pos >= 0) & (slots < W) & (slots != cur_slot)  # (1, Wp)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, d), 1)
+        first_half = jax.lax.rem(lane, Dh) < (Dh // 2)
+
+        def rope(x_flat):
+            # halfsplit RoPE on a flat (8, d) block: pair(c) = c±Dh/2 within
+            # each head's Dh-wide column block; global rolls + select are exact
+            # because wrapped lanes always belong to the other (masked) half.
+            s = Dh // 2
+            rolled_l = jnp.concatenate([x_flat[:, s:], x_flat[:, :s]], -1)
+            rolled_r = jnp.concatenate([x_flat[:, -s:], x_flat[:, :-s]], -1)
+            pair = jnp.where(first_half, rolled_l, rolled_r)
+            sgn = jnp.where(first_half, -1.0, 1.0)
+            return x_flat * cosf_ref[:] + pair * sgn * sinf_ref[:]
+
+        def body(i, _):
+            l = i // 10
+            c = jax.lax.rem(i, 10)
+            slot = jax.lax.rem(i, NBUF)
+            nslot = jax.lax.rem(i + NBUF, NBUF)
+
+            def stage_qkvwo(c_static, dest):
+                """Wait chunk, dot vs attn-normed h, store scaled output."""
+                wdma_c(c_static, slot, l).wait()
+                sdma_c(slot, i).wait()
+                hn = _rms(h[:], attn_n_ref[l], norm_eps)
+                xq8, xs = _quant_rows(hn)
+                y = jax.lax.dot_general(
+                    xq8, wbuf[slot, :d], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                dest[:] = y.astype(jnp.float32) * xs * sbuf[slot][:, :d]
+
+            @pl.when(c == 0)
+            def _():
+                stage_qkvwo(0, qb)
+
+            @pl.when(c == 1)
+            def _():
+                stage_qkvwo(1, kb)
+
+            @pl.when(c == 2)
+            def _():
+                stage_qkvwo(2, vb)
+
+            @pl.when(c == 3)
+            def _():
+                # ---- attention (kernel-resident), then the wo projection ----
+                wdma_c(3, slot, l).wait()
+                sdma_c(slot, i).wait()
+                kdma(l).wait()
+                vdma(l).wait()
+                q = rope(qb[:])                     # (8, d), row 0 real
+                k_new = rope(kb[:])
+                knew_ref[l] = k_new[0:1].astype(knew_ref.dtype)
+                vnew_ref[l] = vb[0:1].astype(vnew_ref.dtype)
+                qflat = q[0:1]                      # (1, d)
+                qmat_t = hmask_ref[:] * qflat       # (H, d)
+                scores_t = jax.lax.dot_general(
+                    qmat_t.astype(jnp.bfloat16), kbuf[:],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale  # (H, Wp)
+                scores_t = jnp.where(valid, scores_t, -jnp.inf)
+                self_s = jnp.sum(qmat_t * k_new[0:1], axis=-1,
+                                 keepdims=True) * scale          # (H, 1)
+                m = jnp.maximum(jnp.max(scores_t, axis=-1, keepdims=True), self_s)
+                p_t = jnp.exp(scores_t - m)
+                p_self = jnp.exp(self_s - m)
+                denom = jnp.sum(p_t, axis=-1, keepdims=True) + p_self  # (H, 1)
+                out_all = jax.lax.dot_general(
+                    p_t.astype(jnp.bfloat16), vbuf[:],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)          # (H, d)
+                fold = jnp.sum(out_all / denom * hmask_ref[:], axis=0,
+                               keepdims=True)                    # (1, d)
+                self_contrib = jnp.sum(hmask_ref[:] * (p_self / denom), axis=0,
+                                       keepdims=True) * vb[0:1]
+                attn = fold + self_contrib                       # (1, d)
+                a8, ascale = _quant_rows(jnp.broadcast_to(attn, (8, d)))
+                y = jax.lax.dot_general(
+                    a8, wbuf[slot, :d], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                h[:] += y.astype(jnp.float32) * ascale * sbuf[slot][:, :d]
+
+            def stage_ffn_in(c_static, dest, lane_off):
+                wdma_c(c_static, slot, l).wait()
+                sdma_c(slot, i).wait()
+                hn = _rms(h[:], ffn_n_ref[l], norm_eps)
+                xq8, xs = _quant_rows(hn)
+                y = jax.lax.dot_general(
+                    xq8, wbuf[slot, :fch], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                dest[:, lane_off:lane_off + fch] = (
+                    y.astype(jnp.float32) * xs * sbuf[slot][:, :fch])
+
+            @pl.when(c == 4)
+            def _():
+                stage_ffn_in(4, w1b, 0)
+                # cache prefetch for the next layer (attention just released it)
+                @pl.when(l + 1 < L)
+                def _():
+                    kdma(l + 1).start()
+                    vdma(l + 1).start()
+
+            @pl.when(c == 5)
+            def _():
+                stage_ffn_in(5, w1b, fch)
+
+            @pl.when(c == 6)
+            def _():
+                stage_ffn_in(6, w3b, 0)
+
+            @pl.when(c == 7)
+            def _():
+                stage_ffn_in(7, w3b, fch)
+                u = jax.nn.silu(w1b[:]) * w3b[:]
+                q8, qs = _quant_rows(u)
+                uq[:] = q8
+                us[:] = qs
+
+            def stage_w2(c_static, lane_off, add_out):
+                wdma_c(c_static, slot, l).wait()
+                sdma_c(slot, i).wait()  # w2t per-row scales unused (zeros)
+                y = jax.lax.dot_general(
+                    uq[:, lane_off:lane_off + fch], wbuf[slot, :fch],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                if add_out:
+                    y = acc[:] + y
+                    h[:] += y.astype(jnp.float32) * us[:] * w2s_ref[l]
+                else:
+                    acc[:] = y
+
+            @pl.when(c == 8)
+            def _():
+                stage_w2(8, 0, False)
+
+            @pl.when(c == 9)
+            def _():
+                stage_w2(9, fch, True)
+
+            # start the weight DMA NBUF steps ahead: its stage is (c+NBUF)%10
+            nxt = i + NBUF
+            @pl.when(nxt < n_steps)
+            def _():
+                nl = nxt // 10
+                for cs in range(10):
+                    @pl.when(jax.lax.rem(nxt, 10) == cs)
+                    def _(cs=cs):
+                        wdma_c(cs, nslot, nl).start()
+                        sdma_c(nslot, nxt).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
+        h_out_ref[:] = h[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "norm_eps", "interpret"))
+def fused_decode_layers(fp, x, pos, cache_k, cache_v, *, dims: FusedDims,
+                        norm_eps: float = 1e-5, interpret: bool = False):
+    """Run all transformer layers for one decode token through the megakernel.
+
+    Args:
+        fp: fused param bundle from build_fused_pack (pack/scales/norms/...).
+        x: (8, d) bf16 embedded token (row 0 real, rest zeros).
+        pos: () int32 absolute position of this token.
+        cache_k/cache_v: (L, W_pad, d) bf16 ring caches (layer-flat layout).
+    Returns:
+        (h (8, d) f32 pre-final-norm, k_new (L, 1, d) bf16, v_new (L, 1, d) bf16).
+    """
+    d = dims.dim
+    cos, sin = _rope_flat(pos, dims)
+    kernel = _make_kernel(dims, norm_eps)
+    maxch = max(dims.stage_rows)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((8, d), jnp.float32),
+            jax.ShapeDtypeStruct((dims.n_layers, 1, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((dims.n_layers, 1, d), jnp.bfloat16),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # pos (1,1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cosf
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # sinf
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # hmask
+            pl.BlockSpec(memory_space=pl.ANY),       # pack
+            pl.BlockSpec(memory_space=pl.ANY),       # scales
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w2 scales
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # attn norms
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ffn norms
+            pl.BlockSpec(memory_space=pl.ANY),       # cache_k
+            pl.BlockSpec(memory_space=pl.ANY),       # cache_v
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, maxch, d), jnp.int8),        # weight chunks
+            pltpu.VMEM((NBUF, 1, maxch), jnp.float32),     # chunk scales
+            pltpu.VMEM((dims.w_pad, d), jnp.bfloat16),     # K layer
+            pltpu.VMEM((dims.w_pad, d), jnp.bfloat16),     # V layer
+            pltpu.VMEM((8, d), jnp.float32),               # h
+            pltpu.VMEM((8, d), jnp.float32),               # q raw
+            pltpu.VMEM((8, d), jnp.float32),               # k raw
+            pltpu.VMEM((8, d), jnp.float32),               # v raw
+            pltpu.VMEM((8, dims.hidden), jnp.float32),     # w1 out
+            pltpu.VMEM((8, dims.hidden), jnp.float32),     # w3 out
+            pltpu.VMEM((8, dims.hidden), jnp.int8),        # u quantized
+            pltpu.VMEM((8, 1), jnp.float32),               # u scale
+            pltpu.VMEM((8, d), jnp.int32),                 # w2 accumulator
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.reshape(pos.astype(jnp.int32), (1, 1)), x, cos, sin, fp["hmask"],
+      fp["pack"], fp["scales"], fp["w2_scales"], fp["attn_norms"],
+      fp["ffn_norms"], cache_k, cache_v)
+    return out
+
+
+def _rope_flat(pos, dims: FusedDims):
+    """cos/sin in flat per-head layout: block [h*Dh, h*Dh+Dh) = [cos|cos] halves."""
+    Dh = dims.head_dim
+    freqs = 1.0 / (10000.0 ** (jnp.arange(0, Dh, 2, dtype=jnp.float32) / Dh))
+    ang = pos.astype(jnp.float32) * freqs              # (Dh/2,)
+    cos = jnp.tile(jnp.concatenate([jnp.cos(ang), jnp.cos(ang)]), (dims.n_heads,))
+    sin = jnp.tile(jnp.concatenate([jnp.sin(ang), jnp.sin(ang)]), (dims.n_heads,))
+    return (jnp.broadcast_to(cos, (8, dims.dim)),
+            jnp.broadcast_to(sin, (8, dims.dim)))
+
+
+# ---------------------------------------------------------------------------
+# pack construction + jnp emulation (test oracle / CPU fallback)
+
+def make_dims(cfg, max_len: int) -> FusedDims:
+    window = min(cfg.sliding_window, max_len + 1)
+    return FusedDims(
+        n_layers=cfg.n_layers, dim=cfg.dim, hidden=cfg.hidden_dim,
+        n_heads=cfg.n_heads, head_dim=cfg.head_dim,
+        window=window, w_pad=-(-window // 128) * 128)
+
+
+def build_fused_pack(params, cfg, dims: FusedDims):
+    """Quantize + pack the AR backbone for the megakernel.
+
+    Accepts raw (bf16) params; the head/embed/norm handling for the engine
+    wrapper lives in models/ar_decode_fused.py. RoPE row permutation is assumed
+    already applied at conversion (ops/rope.apply_rope_halfsplit convention).
+    """
+    from ..quant import quantize_weight
+
+    layers = params["ar"]["layers"]
+    d, fch = dims.dim, dims.fch
+    L = dims.n_layers
+
+    def q(w):  # (L, out, in) -> int8 (L, out, in), scales (L, out)
+        qq, s = quantize_weight(w, axis=-1)
+        return qq, s.astype(jnp.float32)
+
+    wq, sq = q(layers["wq"])
+    wk, sk = q(layers["wk"])
+    wv, sv = q(layers["wv"])
+    wo, so = q(layers["wo"])
+    w1, s1 = q(layers["w1"])
+    w3, s3 = q(layers["w3"])
+    w2, s2 = q(layers["w2"])              # (L, d, hidden), scale (L, d)
+    w2t = jnp.transpose(w2, (0, 2, 1))    # (L, hidden, d): rows = contraction
+
+    pack = jnp.concatenate([wq, wk, wv, wo, w1, w3, w2t], axis=1)
+    pack = pack.reshape(L * dims.rows_per_layer, d)
+
+    maxch = max(dims.stage_rows)
+    zeros_f = jnp.zeros((L, fch), jnp.float32)
+    per_chunk = [sq, sk, sv, so,
+                 s1[:, :fch], s1[:, fch:], s3[:, :fch], s3[:, fch:],
+                 zeros_f, zeros_f]
+    chunks = []
+    for l in range(L):
+        for c in range(10):
+            row = per_chunk[c][l]
+            if row.shape[0] < maxch:
+                row = jnp.pad(row, (0, maxch - row.shape[0]))
+            chunks.append(row)
+    scales = jnp.stack(chunks).reshape(L * 10, 1, maxch)
+
+    hd = dims.head_dim
+    hmask = (np.arange(d)[None, :] // hd == np.arange(dims.n_heads)[:, None])
+    return {
+        "pack": pack,
+        "scales": scales,
+        "w2_scales": s2[:, None, :],                      # (L, 1, d)
+        "attn_norms": layers["attention_norm"][:, None, :].astype(jnp.float32),
+        "ffn_norms": layers["ffn_norm"][:, None, :].astype(jnp.float32),
+        "hmask": jnp.asarray(hmask, jnp.float32),
+    }
+
+
+def fused_step_emulation(fp, x, pos, cache_k, cache_v, *, dims: FusedDims,
+                         norm_eps: float = 1e-5, quantized: bool = True):
+    """Pure-jnp emulation of the megakernel's exact quantized math (oracle).
+
+    ``quantized=False`` replaces every W8A8 dot with an fp32 dot against the
+    dequantized weights — used by tests to check the kernel's STRUCTURE (pack
+    layout, flat RoPE, mask-fold attention, ring masking) against the XLA
+    decode path with identical weights, isolating layout bugs from quant noise.
+    """
+    L, d, H, Dh = dims.n_layers, dims.dim, dims.n_heads, dims.head_dim
+    fch, W, Wp = dims.fch, dims.window, dims.w_pad
+    RPL = dims.rows_per_layer
+    offs, rows = dims.stage_offsets, dims.stage_rows
+    scale = 1.0 / (Dh ** 0.5)
+    cos, sin = _rope_flat(pos, dims)
+    hmask = fp["hmask"]
+
+    lane = jnp.arange(d)
+    first_half = (lane % Dh) < (Dh // 2)
+
+    def rope(xf):
+        s = Dh // 2
+        rolled_l = jnp.concatenate([xf[:, s:], xf[:, :s]], -1)
+        rolled_r = jnp.concatenate([xf[:, -s:], xf[:, :-s]], -1)
+        pair = jnp.where(first_half, rolled_l, rolled_r)
+        sgn = jnp.where(first_half, -1.0, 1.0)
+        return xf * cos + pair * sgn * sin
+
+    def get_chunk(l, c):
+        off = l * RPL + offs[c]
+        return (jax.lax.dynamic_slice(fp["pack"], (off, 0), (rows[c], d)),
+                fp["scales"][l * 10 + c, 0, : rows[c]])
+
+    slots = jnp.arange(Wp)[None, :]
+    slot_pos = pos - jnp.mod(pos - slots, W)
+    cur_slot = jnp.mod(pos, W)
+    valid = (slot_pos >= 0) & (slots < W) & (slots != cur_slot)
+
+    h = x.astype(jnp.float32)
+    k_news, v_news = [], []
+    for l in range(L):
+        hn = _rms(h, fp["attn_norms"][l], norm_eps)
+        if quantized:
+            xq8, xs = _quant_rows(hn)
+        else:
+            xq8, xs = hn, jnp.ones((hn.shape[0], 1), jnp.float32)
+
+        def dot8(xq, xsc, w8, ws):
+            if not quantized:
+                return jax.lax.dot_general(
+                    xq, w8.astype(jnp.float32) * ws[:, None],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            # multiply order matches the kernel exactly: (y * xs) * ws
+            y = jax.lax.dot_general(xq, w8, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            return y.astype(jnp.float32) * xsc * ws
+
+        (wq8, sq), (wk8, sk), (wv8, sv) = (get_chunk(l, c) for c in range(3))
+        q = dot8(xq8, xs, wq8, sq)
+        kx = dot8(xq8, xs, wk8, sk)
+        v = dot8(xq8, xs, wv8, sv)
+        q, k_new = rope(q), rope(kx)
+        k_news.append(k_new[0:1].astype(jnp.bfloat16))
+        v_news.append(v[0:1].astype(jnp.bfloat16))
+
+        qmat_t = hmask * q[0:1]
+        scores_t = jax.lax.dot_general(
+            qmat_t.astype(jnp.bfloat16), cache_k[l], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        scores_t = jnp.where(valid, scores_t, -jnp.inf)
+        self_s = jnp.sum(qmat_t * k_new[0:1], axis=-1, keepdims=True) * scale
+        m = jnp.maximum(jnp.max(scores_t, axis=-1, keepdims=True), self_s)
+        p_t = jnp.exp(scores_t - m)
+        p_self = jnp.exp(self_s - m)
+        denom = jnp.sum(p_t, axis=-1, keepdims=True) + p_self
+        out_all = jax.lax.dot_general(
+            p_t.astype(jnp.bfloat16), cache_v[l], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        fold = jnp.sum(out_all / denom * hmask, axis=0, keepdims=True)
+        attn = fold + jnp.sum(hmask * (p_self / denom), axis=0,
+                              keepdims=True) * v[0:1]
+
+        wo8, so = get_chunk(l, 3)
+        attn_b = jnp.broadcast_to(attn, (8, d))
+        if quantized:
+            a8, ascale = _quant_rows(attn_b)
+        else:
+            a8, ascale = attn_b, jnp.ones((8, 1), jnp.float32)
+        h = h + dot8(a8, ascale, wo8, so)
+
+        hn2 = _rms(h, fp["ffn_norms"][l], norm_eps)
+        if quantized:
+            x2, x2s = _quant_rows(hn2)
+        else:
+            x2, x2s = hn2, jnp.ones((8, 1), jnp.float32)
+        w1a, s1a = get_chunk(l, 4)
+        w1c, s1c = get_chunk(l, 5)
+        w3a, s3a = get_chunk(l, 6)
+        w3c, s3c = get_chunk(l, 7)
+        a = jnp.concatenate([dot8(x2, x2s, w1a, s1a), dot8(x2, x2s, w1c, s1c)], -1)
+        b = jnp.concatenate([dot8(x2, x2s, w3a, s3a), dot8(x2, x2s, w3c, s3c)], -1)
+        u = jax.nn.silu(a) * b
+        w2a, _ = get_chunk(l, 8)
+        w2b, _ = get_chunk(l, 9)
+        if quantized:
+            uq8, us = _quant_rows(u)
+            y = (jax.lax.dot_general(uq8[:, :fch], w2a, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+                 + jax.lax.dot_general(uq8[:, fch:], w2b, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.int32))
+            h = h + y.astype(jnp.float32) * us * fp["w2_scales"][l]
+        else:
+            w2f = jnp.concatenate([w2a, w2b], 0).astype(jnp.float32)
+            y = jax.lax.dot_general(u, w2f * fp["w2_scales"][l],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            h = h + y
+
+    return h, jnp.stack(k_news, 0), jnp.stack(v_news, 0)

@@ -43,25 +43,67 @@ def linear_q8(x, q, scale, b=None):
     return y.astype(x.dtype)
 
 
+def quantize_act(x):
+    """Dynamic symmetric per-row (per-token) int8 activation quantization.
+
+    Returns (x_int8, row_scale fp32 with trailing singleton axis).
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
+def linear_w8a8(x, q, scale, b=None):
+    """y ≈ x @ (q * scale).T with int8 activations — int8×int8→int32 MXU dot.
+
+    x: (..., in) bf16/fp32; q: (out, in) int8; scale: (out,) fp32.
+    Activations use dynamic per-row symmetric quantization (W8A8 per-token,
+    the standard serving recipe); accumulation is int32, rescale fp32.
+    """
+    xq, xs = quantize_act(x)
+    y = jax.lax.dot_general(
+        xq, q,
+        dimension_numbers=(((x.ndim - 1,), (q.ndim - 1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (xs * scale.astype(jnp.float32))
+    if b is not None:
+        y = y + b
+    return y.astype(x.dtype)
+
+
 _AR_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
 
 
-def quantize_codeclm(params):
+def quantize_codeclm(params, act_int8: bool = False):
     """Quantize the AR backbone's block weights + output head to int8.
 
     Returns a new pytree where each quantized kernel leaf ``w`` becomes a dict
     ``{"q": int8, "s": scales}``; everything else (norms, embeddings, speaker
     encoder) is untouched. Consumed by the decode engine's quantized path.
+    With ``act_int8``, the dicts carry ``a8=True`` and matmuls run W8A8
+    (int8×int8→int32 on the MXU) instead of weight-only dequant.
     """
     out = jax.tree.map(lambda x: x, params)  # shallow-ish copy
     layers = dict(params["ar"]["layers"])
+
+    def qdict(w):
+        q, s = quantize_weight(w, axis=-1)  # (L, out, in) -> scale (L, out)
+        # the W8A8 marker is a dict KEY (pytree structure is static under jit;
+        # leaf values are traced, so a bool leaf could not drive dispatch).
+        # Stacked (L, out, in) kernels get an (L,)-shaped dummy so lax.scan
+        # over the layer axis can slice it.
+        if not act_int8:
+            return {"q": q, "s": s}
+        marker = jnp.zeros(q.shape[:1] if q.ndim == 3 else ())
+        return {"q": q, "s": s, "a8": marker}
+
     for k in _AR_QUANT_KEYS:
-        q, s = quantize_weight(layers[k], axis=-1)  # (L, out, in) -> scale (L, out)
-        layers[k] = {"q": q, "s": s}
+        layers[k] = qdict(layers[k])
     ar = dict(params["ar"])
     ar["layers"] = layers
-    q, s = quantize_weight(params["ar"]["output"], axis=-1)
-    ar["output"] = {"q": q, "s": s}
+    ar["output"] = qdict(params["ar"]["output"])
     out = dict(out)
     out["ar"] = ar
     return out
@@ -71,9 +113,66 @@ def is_quantized(w) -> bool:
     return isinstance(w, dict) and "q" in w
 
 
+def slice_rows(w, sl):
+    """Row-slice a kernel (quantized dict or plain array) along the out axis."""
+    if is_quantized(w):
+        out = {"q": w["q"][sl], "s": w["s"][sl]}
+        if "a8" in w:
+            out["a8"] = w["a8"]
+        return out
+    return w[sl]
+
+
+_NAR_QUANT_KEYS = ("sa_in_w", "sa_out_w", "ca_in_w", "ca_out_w", "WV", "lin2_w")
+
+
+def quantize_nar(params, act_int8: bool = True):
+    """Quantize the NAR encoder/decoder stacks (+8 output heads) to int8.
+
+    The diffusion denoiser is compute-bound (SURVEY §2.7 budget: 200 steps × 2
+    CFG forwards); int8×int8→int32 MXU dots with per-token activation quant are
+    the precision lever. Kept bf16: the speaker encoder (negligible compute,
+    conditioning-critical), embeddings, layernorms, attention softmax (fp32),
+    and all diffusion posterior math (fp32 — diffusion/ engine untouched).
+    Grid-divergence vs bf16 is characterized in tests/test_quant.py.
+    """
+    def qdict(w):
+        q, s = quantize_weight(w, axis=-1)
+        if not act_int8:
+            return {"q": q, "s": s}
+        marker = jnp.zeros(q.shape[:-2] if q.ndim > 2 else ())
+        return {"q": q, "s": s, "a8": marker}
+
+    out = dict(params)
+    for stack in ("encoder", "decoder"):
+        st = dict(params[stack])
+        layers = dict(st["layers"])
+        for k in _NAR_QUANT_KEYS:
+            if k in layers:
+                layers[k] = qdict(layers[k])
+        st["layers"] = layers
+        out[stack] = st
+    rd = dict(params["residual_decoder"])
+    rd["lin_w"] = qdict(rd["lin_w"])  # (8, n_quant, d)
+    out["residual_decoder"] = rd
+    return out
+
+
+def index_quant(w, i):
+    """Index a stacked kernel (quantized dict or plain array) on axis 0."""
+    if is_quantized(w):
+        out = {"q": w["q"][i], "s": w["s"][i]}
+        if "a8" in w:
+            out["a8"] = w["a8"]
+        return out
+    return w[i]
+
+
 def linear_any(x, w, b=None):
     """linear() that accepts either a plain kernel or a {"q","s"} int8 dict."""
     if is_quantized(w):
+        if "a8" in w:
+            return linear_w8a8(x, w["q"], w["s"], b)
         return linear_q8(x, w["q"], w["s"], b)
     from .attention import linear
     return linear(x, w, b)

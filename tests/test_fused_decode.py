@@ -1,0 +1,133 @@
+"""Tests for the fused int8 decode-layer megakernel (ops/pallas/decode_layer).
+
+Three layers of verification, all on CPU:
+1. kernel (interpret mode) == pure-jnp emulation, bit-level (same quantized math);
+2. emulation with quantization DISABLED == the XLA decode engine step with
+   identical dequantized weights — validates the kernel's STRUCTURE (pack
+   layout, flat-RoPE convention, mask-fold attention, ring-slot masking,
+   self-column semantics) against the tested engine (models/ar_decode), which
+   itself is token-parity-tested against the PyTorch reference
+   (/root/reference/mars5/ar_generate.py) in tests/test_ar_decode.py;
+3. end-to-end fused generation (prefill -> while_loop -> sampling) is
+   token-identical between interpret kernel and emulation, and the W8A8
+   quantization noise vs the bf16 engine stays within a characterized bound
+   (logit error; the token-divergence quality gate lives in test_quant.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mars5_tts_tpu.models.ar import CodecLMConfig, init_codeclm
+from mars5_tts_tpu.models.ar_decode import ArSampling, _decode_backbone_step
+from mars5_tts_tpu.models.ar_decode_fused import ar_generate_fused, prepare_fused
+from mars5_tts_tpu.ops.attention import linear
+from mars5_tts_tpu.ops.norms import rms_norm
+from mars5_tts_tpu.ops.pallas.decode_layer import (fused_decode_layers,
+                                                   fused_step_emulation)
+from mars5_tts_tpu.ops.quant import quantize_weight
+
+# geometry constraints of the kernel: dim % 128 == 0, hidden/2 % 128 == 0
+CFG = CodecLMConfig(n_vocab=512, dim=256, n_heads=4, n_kv_heads=4, head_dim=64,
+                    n_layers=3, hidden_dim=512, sliding_window=24,
+                    n_spk_layers=2, spk_hidden_dim=256)
+MAX_LEN = 40  # > sliding_window: generation exercises ring wrap
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_codeclm(jax.random.PRNGKey(0), CFG, dtype=jnp.bfloat16)
+    fp, dims = prepare_fused(params, CFG, max_len=MAX_LEN)
+    return params, fp, dims
+
+
+def _rand_cache(dims, seed):
+    rng = np.random.default_rng(seed)
+    c = (rng.standard_normal((dims.n_layers, dims.w_pad, dims.dim)) * 0.1)
+    c[:, dims.window:] = 0
+    return jnp.asarray(c, jnp.bfloat16)
+
+
+@pytest.mark.parametrize("pos", [5, 30])  # below and beyond the ring window
+def test_kernel_matches_emulation(setup, pos):
+    params, fp, dims = setup
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, dims.dim), jnp.bfloat16)
+    x = x.at[1:].set(0)
+    ck, cv = _rand_cache(dims, 2), _rand_cache(dims, 3)
+    p = jnp.int32(pos)
+    h_e, k_e, v_e = fused_step_emulation(fp, x, p, ck, cv, dims=dims,
+                                         norm_eps=CFG.norm_eps)
+    h_k, k_k, v_k = fused_decode_layers(fp, x, p, ck, cv, dims=dims,
+                                        norm_eps=CFG.norm_eps, interpret=True)
+    np.testing.assert_allclose(np.asarray(h_k), np.asarray(h_e), rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(k_k), np.asarray(k_e))
+    np.testing.assert_array_equal(np.asarray(v_k), np.asarray(v_e))
+
+
+def test_structure_matches_xla_engine(setup):
+    """Unquantized emulation == XLA decode step with dequantized weights."""
+    params32 = init_codeclm(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    fp, dims = prepare_fused(params32, CFG, max_len=MAX_LEN)
+    W = dims.window
+
+    deq = dict(params32)
+    layers = dict(params32["ar"]["layers"])
+    for kk in ("wq", "wk", "wv", "wo", "w1", "w2", "w3"):
+        q, s = quantize_weight(layers[kk], axis=-1)
+        layers[kk] = q.astype(jnp.float32) * s[..., None]
+    deq["ar"] = dict(params32["ar"])
+    deq["ar"]["layers"] = layers
+
+    rng = np.random.default_rng(0)
+    flat = (rng.standard_normal((dims.n_layers, dims.w_pad, dims.dim)) * 0.1
+            ).astype(np.float32)
+    flat[:, W:] = 0
+    flat_v = (rng.standard_normal((dims.n_layers, dims.w_pad, dims.dim)) * 0.1
+              ).astype(np.float32)
+    flat_v[:, W:] = 0
+    ck5 = jnp.asarray(flat[:, None, :W].reshape(
+        dims.n_layers, 1, W, CFG.n_heads, CFG.head_dim))
+    cv5 = jnp.asarray(flat_v[:, None, :W].reshape(
+        dims.n_layers, 1, W, CFG.n_heads, CFG.head_dim))
+
+    tok = jnp.asarray([37], jnp.int32)
+    pos = jnp.asarray([30], jnp.int32)  # beyond window: ring semantics
+    logits_xla, nk, nv = _decode_backbone_step(deq, CFG, tok, pos, ck5, cv5)
+
+    x = jnp.concatenate([params32["embed"][tok],
+                         jnp.zeros((7, dims.dim))], 0)
+    h, k_new, v_new = fused_step_emulation(
+        fp, x, pos[0], jnp.asarray(flat, jnp.bfloat16),
+        jnp.asarray(flat_v, jnp.bfloat16), dims=dims, norm_eps=CFG.norm_eps,
+        quantized=False)
+    h1 = rms_norm(h[0:1], params32["ar"]["norm"], CFG.norm_eps)
+    logits_f = linear(h1, params32["ar"]["output"])
+
+    np.testing.assert_allclose(np.asarray(logits_xla), np.asarray(logits_f),
+                               atol=2e-3)
+    slot = 30 % W
+    np.testing.assert_allclose(
+        np.asarray(nk[:, 0, slot].reshape(dims.n_layers, 1, -1)),
+        np.asarray(k_new, np.float32), atol=8e-3)  # bf16 rounding of k_new
+    np.testing.assert_allclose(
+        np.asarray(nv[:, 0, slot].reshape(dims.n_layers, 1, -1)),
+        np.asarray(v_new, np.float32), atol=8e-3)
+
+
+def test_fused_generation_token_identical(setup):
+    params, fp, dims = setup
+    s = ArSampling(temperature=0.7, top_k=50, top_p=0.2, n_phones_gen=100,
+                   eos_idx=0, valid_start=10, valid_end=510, max_len=MAX_LEN)
+    prompt = np.arange(12, 22)
+    spk = np.random.default_rng(0).integers(0, 1024, (20, 8))
+    u = np.random.default_rng(1).random((MAX_LEN, 1))
+    t_emu, n_emu = ar_generate_fused(params, fp, CFG, dims, prompt, spk,
+                                     sampling=s, uniforms=u, interpret=None)
+    t_int, n_int = ar_generate_fused(params, fp, CFG, dims, prompt, spk,
+                                     sampling=s, uniforms=u, interpret=True)
+    assert n_emu == n_int
+    np.testing.assert_array_equal(t_emu, t_int)
+    assert n_emu > 0
+    gen = t_emu[len(prompt):]
+    assert ((gen >= 10) & (gen < 510)).all()
