@@ -41,6 +41,8 @@ REF_SECONDS = 6.0
 # serving config) | "int8" (XLA weight-only int8) | "bf16" (XLA bf16 parity path)
 BENCH_AR = os.environ.get("BENCH_AR",
                           "int8" if os.environ.get("BENCH_INT8") == "1" else "fused")
+# NAR mode: "int8" (default; W8A8 XLA dots) | "bf16" (parity path)
+BENCH_NAR = os.environ.get("BENCH_NAR", "int8")
 # deep-clone prompt geometry is static: 60 text tokens + 450 codec frames
 _PROMPT_LEN = 60 + 450
 _MAX_LEN = _PROMPT_LEN + 750
@@ -68,6 +70,9 @@ def build():
         from mars5_tts_tpu.ops.quant import quantize_codeclm
         ar = quantize_codeclm(ar)
     nar = init_nar(jax.random.fold_in(key, 1), nar_cfg, dtype=jnp.bfloat16)
+    if BENCH_NAR == "int8":
+        from mars5_tts_tpu.ops.quant import quantize_nar
+        nar = quantize_nar(nar)
     enc = init_encodec(jax.random.fold_in(key, 2), enc_cfg)
     voc = init_vocos(jax.random.fold_in(key, 3), voc_cfg)
     return (ar_cfg, nar_cfg, enc_cfg, voc_cfg), (ar, nar, enc, voc, fused)
@@ -170,7 +175,7 @@ def main():
         "vs_baseline": round(TARGET_RTF / rtf, 4),
         "detail": {"p50_total_s": round(p50, 3),
                    "stages_s": {k: round(v, 3) for k, v in stages_p50.items()},
-                   "ar_mode": BENCH_AR,
+                   "ar_mode": BENCH_AR, "nar_mode": BENCH_NAR,
                    "device": str(jax.devices()[0])},
     }))
 

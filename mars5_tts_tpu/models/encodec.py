@@ -92,18 +92,29 @@ def _conv1d(x, w, b, stride: int = 1, dilation: int = 1, groups: int = 1):
 
 
 def _causal_pad(x, kernel: int, stride: int, dilation: int):
-    """encodec SConv1d padding: left reflect pad + right zero extra pad."""
+    """encodec SConv1d causal padding (conv.py pad1d semantics).
+
+    Left ``padding_total`` and right ``extra_padding`` are applied in ONE
+    reflect pad — the trailing pad that covers the final partial frame is
+    REFLECT, not zeros (caught by tests/test_codec_oracle.py full-model parity
+    on non-hop-multiple lengths). Inputs shorter than the pad are zero-extended
+    first and the extension cropped after, exactly like pad1d.
+    """
     length = x.shape[-1]
-    padding_total = (kernel - 1) * dilation - (stride - 1)
-    n_frames = (length - kernel * dilation + dilation - 1 + padding_total) / stride + 1
-    ideal_length = (int(np.ceil(n_frames)) - 1) * stride + (kernel - 1) * dilation + 1 - padding_total
+    eff_k = (kernel - 1) * dilation + 1
+    padding_total = eff_k - stride
+    n_frames = (length - eff_k + padding_total) / stride + 1
+    ideal_length = (int(np.ceil(n_frames)) - 1) * stride + (eff_k - padding_total)
     extra_padding = max(ideal_length - length, 0)
-    # reflect pad requires pad < length; encodec pads zeros first in that edge case
-    # (only relevant for sub-kernel inputs, which the pipeline never produces).
-    x = jnp.pad(x, ((0, 0), (0, 0), (padding_total, 0)), mode="reflect")
-    if extra_padding:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, extra_padding)))
-    return x
+    max_pad = max(padding_total, extra_padding)
+    if length <= max_pad:
+        ext = max_pad - length + 1
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, ext)))
+        x = jnp.pad(x, ((0, 0), (0, 0), (padding_total, extra_padding)),
+                    mode="reflect")
+        return x[..., : x.shape[-1] - ext]
+    return jnp.pad(x, ((0, 0), (0, 0), (padding_total, extra_padding)),
+                   mode="reflect")
 
 
 def sconv1d(p, x, stride: int = 1, dilation: int = 1):

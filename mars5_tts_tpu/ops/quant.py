@@ -110,12 +110,33 @@ def quantize_codeclm(params, act_int8: bool = False):
 
 
 def is_quantized(w) -> bool:
-    return isinstance(w, dict) and "q" in w
+    return isinstance(w, dict) and ("q" in w or "qt" in w)
+
+
+def linear_w8a8_t(x, qt, scale, b=None):
+    """W8A8 against a pre-transposed (in, out) int8 kernel.
+
+    Uses plain XLA dots: the MXU-native (K, N) layout measured 134 TOP/s at NAR
+    shapes vs 80 TFLOP/s bf16; a fused Pallas GEMM (ops/pallas/gemm.py) was
+    built and measured SLOWER (~70 TOP/s — Mosaic's matmul pipeline loses to
+    XLA's emitter at these sizes), so it is kept only as a tested reference.
+    """
+    xq, xs = quantize_act(x)
+    y = jax.lax.dot_general(
+        xq, qt,
+        dimension_numbers=(((x.ndim - 1,), (qt.ndim - 2,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (xs * scale.astype(jnp.float32))
+    if b is not None:
+        y = y + b
+    return y.astype(x.dtype)
 
 
 def slice_rows(w, sl):
     """Row-slice a kernel (quantized dict or plain array) along the out axis."""
     if is_quantized(w):
+        if "qt" in w:
+            return {"qt": w["qt"][..., sl], "s": w["s"][sl]}
         out = {"q": w["q"][sl], "s": w["s"][sl]}
         if "a8" in w:
             out["a8"] = w["a8"]
@@ -131,10 +152,13 @@ def quantize_nar(params, act_int8: bool = True):
 
     The diffusion denoiser is compute-bound (SURVEY §2.7 budget: 200 steps × 2
     CFG forwards); int8×int8→int32 MXU dots with per-token activation quant are
-    the precision lever. Kept bf16: the speaker encoder (negligible compute,
-    conditioning-critical), embeddings, layernorms, attention softmax (fp32),
-    and all diffusion posterior math (fp32 — diffusion/ engine untouched).
-    Grid-divergence vs bf16 is characterized in tests/test_quant.py.
+    the precision lever (measured 16.13 → 13.81 ms/step at bench geometry; the
+    (out, in) torch layout measured faster under XLA than pre-transposed (K, N),
+    and a fused Pallas GEMM measured slower still — see linear_w8a8_t). Kept
+    bf16: the speaker encoder (negligible compute, conditioning-critical),
+    embeddings, layernorms, attention softmax (fp32), and all diffusion
+    posterior math (fp32 — diffusion/ untouched). Grid-divergence vs bf16 is
+    characterized in tests/test_quant.py.
     """
     def qdict(w):
         q, s = quantize_weight(w, axis=-1)
@@ -143,17 +167,18 @@ def quantize_nar(params, act_int8: bool = True):
         marker = jnp.zeros(q.shape[:-2] if q.ndim > 2 else ())
         return {"q": q, "s": s, "a8": marker}
 
+    mk = qdict
     out = dict(params)
     for stack in ("encoder", "decoder"):
         st = dict(params[stack])
         layers = dict(st["layers"])
         for k in _NAR_QUANT_KEYS:
             if k in layers:
-                layers[k] = qdict(layers[k])
+                layers[k] = mk(layers[k])
         st["layers"] = layers
         out[stack] = st
     rd = dict(params["residual_decoder"])
-    rd["lin_w"] = qdict(rd["lin_w"])  # (8, n_quant, d)
+    rd["lin_w"] = qdict(rd["lin_w"])  # (8, n_quant, d): N=1025, XLA path
     out["residual_decoder"] = rd
     return out
 
@@ -161,7 +186,8 @@ def quantize_nar(params, act_int8: bool = True):
 def index_quant(w, i):
     """Index a stacked kernel (quantized dict or plain array) on axis 0."""
     if is_quantized(w):
-        out = {"q": w["q"][i], "s": w["s"][i]}
+        key = "qt" if "qt" in w else "q"
+        out = {key: w[key][i], "s": w["s"][i]}
         if "a8" in w:
             out["a8"] = w["a8"]
         return out
@@ -169,8 +195,14 @@ def index_quant(w, i):
 
 
 def linear_any(x, w, b=None):
-    """linear() that accepts either a plain kernel or a {"q","s"} int8 dict."""
+    """linear() that accepts a plain kernel or an int8 dict.
+
+    Dict layouts: {"q" (out,in), "s"} weight-only; +"a8" key = W8A8 (XLA);
+    {"qt" (in,out), "s"} = W8A8 through the fused Pallas GEMM.
+    """
     if is_quantized(w):
+        if "qt" in w:
+            return linear_w8a8_t(x, w["qt"], w["s"], b)
         if "a8" in w:
             return linear_w8a8(x, w["q"], w["s"], b)
         return linear_q8(x, w["q"], w["s"], b)

@@ -25,15 +25,15 @@ def test_causal_conv_matches_torch():
         b = rng.standard_normal(cout).astype(np.float32)
         x = rng.standard_normal((2, cin, t)).astype(np.float32)
 
-        # torch oracle: encodec SConv1d = left reflect pad + extra right zeros + conv
+        # torch oracle: encodec SConv1d = ONE reflect pad of (total, extra) + conv
+        # (upstream pad1d applies left and right padding together in reflect mode)
         eff_k = (k - 1) * dil + 1
         padding_total = eff_k - stride
         n_frames = (t - eff_k + padding_total) / stride + 1
         ideal = (int(np.ceil(n_frames)) - 1) * stride + (eff_k - padding_total)
         extra = max(ideal - t, 0)
         xt = torch.tensor(x)
-        xt = torch.nn.functional.pad(xt, (padding_total, 0), mode="reflect")
-        xt = torch.nn.functional.pad(xt, (0, extra))
+        xt = torch.nn.functional.pad(xt, (padding_total, extra), mode="reflect")
         ref = torch.nn.functional.conv1d(xt, torch.tensor(w), torch.tensor(b),
                                          stride=stride, dilation=dil)
         ours = sconv1d({"w": jnp.asarray(w), "b": jnp.asarray(b)},

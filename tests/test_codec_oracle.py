@@ -1,0 +1,118 @@
+"""Whole-model Encodec/Vocos oracles: JAX vs independent pure-torch replicas.
+
+Closes the round-1 verification hole (VERDICT "What's missing" #1): the audio
+edges of the pipeline — EncodecModel.encode() (reference inference.py:87-88,233)
+and Vocos codes_to_features()/decode() (inference.py:119,160-172) — previously
+had only primitive-level goldens; a composition bug (block ordering, residual
+hookup, LSTM skip placement, iSTFT padding crop) could pass every test. Here the
+FULL models run end-to-end against torch replicas (tests/torch_replicas.py)
+loaded from official-shaped state_dicts through the real converters, at tiny
+AND released geometry, including awkward input lengths that exercise the
+extra-padding path.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from mars5_tts_tpu.models.encodec import (EncodecConfig, convert_encodec,
+                                          encodec_encode, encoder_forward)
+from mars5_tts_tpu.models.vocos import (VocosConfig, codes_to_features,
+                                        convert_vocos, vocos_decode,
+                                        vocos_vocode)
+from torch_replicas import (SEANetEncoderReplica, make_encodec_state_dict,
+                            make_vocos_state_dict, rvq_encode_torch)
+
+
+# ------------------------------------------------------------------ Encodec
+
+TINY = EncodecConfig(dimension=16, n_filters=4, ratios=(4, 2), n_q=4,
+                     codebook_size=64)
+
+
+@pytest.mark.parametrize("t_len", [512, 505, 93])  # 505/93: extra-padding path
+def test_encodec_encoder_full_model_tiny(t_len):
+    enc, codebooks, sd = make_encodec_state_dict(TINY, seed=0)
+    params = convert_encodec(sd, TINY)
+    x = np.random.default_rng(1).standard_normal((2, 1, t_len)).astype(np.float32) * 0.3
+    with torch.inference_mode():
+        emb_ref = enc(torch.tensor(x))
+    emb = encoder_forward(params, TINY, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(emb), emb_ref.numpy(), atol=2e-4,
+                               err_msg=f"encoder embeddings T={t_len}")
+
+    with torch.inference_mode():
+        codes_ref = rvq_encode_torch(codebooks, emb_ref)
+    codes = encodec_encode(params, TINY, jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(codes), codes_ref.numpy())
+
+
+@pytest.mark.slow
+def test_encodec_encoder_full_model_released_geometry():
+    cfg = EncodecConfig.mars5()
+    enc, codebooks, sd = make_encodec_state_dict(cfg, seed=1)
+    params = convert_encodec(sd, cfg)
+    # 0.35 s — NOT a hop multiple, exercising every stage's extra padding
+    x = np.random.default_rng(2).standard_normal((1, 1, 8400 + 37)).astype(np.float32) * 0.2
+    with torch.inference_mode():
+        emb_ref = enc(torch.tensor(x))
+        codes_ref = rvq_encode_torch(codebooks, emb_ref)
+    codes = encodec_encode(params, cfg, jnp.asarray(x))
+    assert codes.shape == codes_ref.shape
+    agree = (np.asarray(codes) == codes_ref.numpy()).mean()
+    assert agree == 1.0, f"code agreement {agree}"
+
+
+def test_encodec_config_infer_roundtrip():
+    _, _, sd = make_encodec_state_dict(TINY, seed=0)
+    params = convert_encodec(sd, TINY)
+    inferred = EncodecConfig.infer(params)
+    assert inferred.ratios == TINY.ratios
+    assert inferred.dimension == TINY.dimension
+    assert inferred.n_q == TINY.n_q
+
+
+# -------------------------------------------------------------------- Vocos
+
+VTINY = VocosConfig(input_channels=16, dim=128, intermediate_dim=256,
+                    num_layers=2, n_fft=64, hop_length=16, n_codebooks=4,
+                    codebook_size=32)
+
+
+def test_vocos_full_model_tiny():
+    voc, codebooks, sd = make_vocos_state_dict(VTINY, seed=0)
+    params = convert_vocos(sd, VTINY)
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, VTINY.codebook_size, (VTINY.n_codebooks, 37))
+    # codes -> features parity
+    feats = codes_to_features(params["codebook_weights"], jnp.asarray(codes),
+                              bins=VTINY.codebook_size)
+    feats_ref = codebooks[torch.arange(VTINY.n_codebooks)[:, None],
+                          torch.tensor(codes)].sum(0).T[None]
+    np.testing.assert_allclose(np.asarray(feats), feats_ref.numpy(), atol=1e-5)
+
+    for bw in (0, 1):
+        with torch.inference_mode():
+            audio_ref = voc(feats_ref.float(), torch.tensor([bw]))
+        audio = vocos_decode(params, VTINY, jnp.asarray(np.asarray(feats)), bw)
+        np.testing.assert_allclose(np.asarray(audio), audio_ref.numpy(),
+                                   atol=2e-4, err_msg=f"bandwidth_id={bw}")
+
+
+@pytest.mark.slow
+def test_vocos_full_model_released_geometry():
+    cfg = VocosConfig.mars5()
+    voc, codebooks, sd = make_vocos_state_dict(cfg, seed=1)
+    params = convert_vocos(sd, cfg)
+    rng = np.random.default_rng(4)
+    tokens = rng.integers(0, 1024, (75, 8))  # 1 s of codes
+    audio = vocos_vocode(params, cfg, jnp.asarray(tokens), bandwidth_id=1)
+    feats_ref = codebooks[torch.arange(8)[:, None],
+                          torch.tensor(tokens.T)].sum(0).T[None]
+    with torch.inference_mode():
+        audio_ref = voc(feats_ref.float(), torch.tensor([1]))[0]
+    assert audio.shape == audio_ref.shape
+    np.testing.assert_allclose(np.asarray(audio), audio_ref.numpy(), atol=3e-3)
