@@ -156,6 +156,56 @@ def filter_topk_subset(logits, top_k: int, top_p: float = 1.0,
     return jnp.full_like(logits, NEG_INF).at[bs_idx, idx].set(vals)
 
 
+def filter_topk_subset_rows(logits, max_k: int, k_row, top_p_row, typical_row,
+                            min_tokens: int = 1):
+    """Row-wise dynamic variant of ``filter_topk_subset`` for serving pools.
+
+    ``max_k`` is the static top-k extraction width (compile-time bound);
+    ``k_row`` (bs,) int32, ``top_p_row``/``typical_row`` (bs,) f32 are per-row
+    dynamic values. Bit-identical to the static fast path when a row's values
+    equal the static config (rows with top_p >= 1 / typical > 0.999 pass
+    through unfiltered, matching the static code's trace-time gates).
+    """
+    assert max_k > 0
+    bs = logits.shape[0]
+    v = logits.shape[-1]
+    k = min(max(max_k, min_tokens), v)
+    vals, idx = jax.lax.top_k(logits, k)  # (bs, k) descending
+
+    # dynamic per-row k: positions >= k_row are cut (lowest-index-first ties,
+    # same as lax.top_k's static behavior)
+    pos = jnp.arange(k)[None, :]
+    vals = jnp.where(pos >= jnp.maximum(k_row, min_tokens)[:, None], NEG_INF, vals)
+
+    # nucleus, applied per-row where top_p < 1
+    cum = jnp.cumsum(jax.nn.softmax(vals, axis=-1), axis=-1)
+    remove = cum > top_p_row[:, None]
+    if min_tokens > 1:
+        remove = remove.at[..., :min_tokens].set(False)
+    remove = jnp.concatenate(
+        [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1)
+    remove = remove & (top_p_row[:, None] < 1.0)
+    vals = jnp.where(remove, NEG_INF, vals)
+
+    # typical sampling, applied per-row where mass <= 0.999
+    normalized = jax.nn.log_softmax(vals, axis=-1)
+    p = jnp.exp(normalized)
+    prod = jnp.where(jnp.isneginf(normalized), 0.0, normalized * p)
+    ent = -jnp.sum(prod, axis=-1, keepdims=True)
+    shifted = jnp.abs(-normalized - ent)
+    order = jnp.argsort(shifted, axis=-1)
+    sorted_scores = jnp.take_along_axis(shifted, order, axis=-1)
+    sorted_vals = jnp.take_along_axis(vals, order, axis=-1)
+    cum_t = jnp.cumsum(jax.nn.softmax(sorted_vals, axis=-1), axis=-1)
+    last_ind = jnp.sum(cum_t < typical_row[:, None], axis=-1, keepdims=True)
+    threshold = jnp.take_along_axis(sorted_scores, last_ind, axis=-1)
+    t_remove = (shifted > threshold) & (typical_row[:, None] <= 0.999)
+    vals = jnp.where(t_remove, NEG_INF, vals)
+
+    bs_idx = jnp.arange(bs)[:, None]
+    return jnp.full_like(logits, NEG_INF).at[bs_idx, idx].set(vals)
+
+
 def sample_from_logprobs(logprobs, u):
     """Inverse-CDF categorical draw.
 

@@ -30,7 +30,7 @@ from .config import DSH, InferenceConfig
 from .diffusion import MultinomialDiffusion, perform_simple_inference
 from .hub import load_checkpoint, load_tokenizers
 from .models.ar import CodecLMConfig, spk_embedding
-from .models.ar_decode import ArSampling, ar_generate
+from .models.ar_decode import ArSampling, ar_generate, ar_generate_nocache
 from .models.convert import convert_codeclm, convert_nar
 from .models.encodec import EncodecConfig, encodec_encode
 from .models.nar import ResidualTransformerConfig
@@ -216,8 +216,9 @@ class Mars5TTS:
                 valid_start=len(self.texttok.vocab),
                 valid_end=len(self.texttok.vocab) + len(self.speechtok.vocab) + 1,
                 max_len=max_len)
-            ar_codes, _ = ar_generate(self.codeclm, self.ar_cfg, prompt,
-                                      spk_ref_codec, sampling=sampling, seed=seed)
+            gen_fn = ar_generate if cfg.use_kv_cache else ar_generate_nocache
+            ar_codes, _ = gen_fn(self.codeclm, self.ar_cfg, prompt,
+                                 spk_ref_codec, sampling=sampling, seed=seed)
             self._last_ar_runaway = len(ar_codes) >= max_len - 1
             if self._last_ar_runaway:
                 # preserved reference behavior (mars5/ar_generate.py:160-162):

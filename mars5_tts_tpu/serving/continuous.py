@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from ..models.ar import CodecLMConfig
 from ..models.ar_decode import (ArSampling, decode_chunk, insert_row,
-                                make_parked_state, prefill_row)
+                                insert_rows_sampling, make_parked_state,
+                                prefill_row, rows_from_sampling)
 
 
 @dataclass
@@ -31,6 +32,10 @@ class Request:
     spk_codes: np.ndarray         # (S, 8) reference codec codes
     seed: int = 0
     uniforms: Optional[np.ndarray] = None  # (max_len,) override (parity harness)
+    # per-request sampling overrides (temperature/top_k/top_p/typical_p/
+    # alpha_frequency/alpha_presence/penalty_window/eos_penalty_*); top_k must
+    # not exceed the pool ArSampling's static top_k:
+    sampling: Optional[dict] = None
     # filled on completion:
     tokens: Optional[np.ndarray] = None
     n_gen: Optional[int] = None
@@ -40,9 +45,10 @@ class Request:
 class ContinuousBatcher:
     """Fixed-pool continuous batcher over the AR decode engine.
 
-    All requests share one ``ArSampling`` (static compile config), one prompt
-    bucket size, and one speaker-code bucket; prompts/speaker codes are padded
-    to those buckets.
+    The pool shares one static ``ArSampling`` (compile shapes: vocab window,
+    top-k extraction width, max_len) plus one prompt/speaker bucket each, but
+    every request may override its sampling hyperparameters per row
+    (``Request.sampling``) — the logit pipeline runs row-wise dynamic.
     """
 
     def __init__(self, params, cfg: CodecLMConfig, sampling: ArSampling, *,
@@ -60,6 +66,7 @@ class ContinuousBatcher:
         self.prompt_bucket = prompt_bucket
         self.spk_bucket = spk_bucket
         self.state = make_parked_state(cfg, sampling, batch_size, dtype)
+        self.rows = rows_from_sampling(sampling, batch_size)
         self.queue: list[Request] = []
         self.active: dict[int, Request] = {}
         self.completed: list[Request] = []
@@ -88,10 +95,12 @@ class ContinuousBatcher:
             else:
                 u = jax.random.uniform(jax.random.PRNGKey(req.seed),
                                        (self.s.max_len, 1))
+            req_rows = rows_from_sampling(self.s, 1, req.sampling)
             row = prefill_row(self.params, self.cfg, self.s, jnp.asarray(pp),
                               jnp.asarray([len(req.prompt)], jnp.int32),
-                              jnp.asarray(spk), u)
+                              jnp.asarray(spk), u, rows=req_rows)
             self.state = insert_row(self.state, row, jnp.int32(b))
+            self.rows = insert_rows_sampling(self.rows, req_rows, jnp.int32(b))
             req._row = b
             self.active[b] = req
 
@@ -110,7 +119,7 @@ class ContinuousBatcher:
         if not self.active:
             return bool(self.queue)
         self.state = decode_chunk(self.params, self.cfg, self.s, self.state,
-                                  self.chunk_steps)
+                                  self.chunk_steps, rows=self.rows)
         self.chunks_run += 1
         self._harvest()
         return bool(self.active or self.queue)

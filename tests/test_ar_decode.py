@@ -113,3 +113,30 @@ def test_ar_generate_token_parity(ref_ar_generate, use_kv_cache, typical_p, top_
     assert ours.tolist() == ref_tokens.tolist(), (
         f"token divergence (kv={use_kv_cache}, typ={typical_p}, top_p={top_p}):\n"
         f"ref : {ref_tokens.tolist()}\nours: {ours.tolist()}")
+
+
+def test_nocache_matches_cached_engine():
+    """use_kv_cache=False path: full-forward-per-step decode must produce the
+    same tokens as the ring-cache engine (they compute the same banded-window
+    attention; fp32 'highest' precision keeps the sampled paths aligned)."""
+    import jax
+    import numpy as np
+    from mars5_tts_tpu.models.ar import CodecLMConfig, init_codeclm
+    from mars5_tts_tpu.models.ar_decode import (ArSampling, ar_generate,
+                                                ar_generate_nocache)
+
+    cfg = CodecLMConfig.tiny(n_vocab=50)
+    params = init_codeclm(jax.random.PRNGKey(3), cfg)
+    s = ArSampling(temperature=0.7, top_k=10, top_p=0.9, typical_p=1.0,
+                   alpha_frequency=1.0, alpha_presence=0.4, penalty_window=5,
+                   eos_penalty_decay=0.5, eos_penalty_factor=1.0,
+                   n_phones_gen=12, eos_idx=49, valid_start=20, valid_end=51,
+                   max_len=40)
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, 20, 9)
+    spk = rng.integers(0, 1024, (5, 8))
+    u = rng.random(s.max_len).astype(np.float32)
+    t_cached, n_cached = ar_generate(params, cfg, prompt, spk, sampling=s, uniforms=u)
+    t_nc, n_nc = ar_generate_nocache(params, cfg, prompt, spk, sampling=s, uniforms=u)
+    assert n_cached == n_nc
+    assert t_cached.tolist() == t_nc.tolist()
