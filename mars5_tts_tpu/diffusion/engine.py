@@ -32,64 +32,91 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DSH
-from ..models.nar import ResidualTransformerConfig, nar_forward
+from ..models.nar import ResidualTransformerConfig
 from .multinomial import MultinomialDiffusion
 from .schedule import build_step_plan
 
 
-@functools.partial(jax.jit, static_argnames=("nar_cfg", "dsh", "retain_quant0",
-                                              "use_key", "honor_last_greedy"))
+@functools.partial(jax.jit, static_argnames=("nar_cfg", "dsh", "offset",
+                                              "retain_quant0", "use_key",
+                                              "honor_last_greedy"))
 def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
                     diff_tables, c_text, c_codes, c_texts_length, c_codes_length,
                     x0_seed, x_known, m, x_padding_mask, x_quant0,
-                    t_lasts, is_reverse, cs, uniforms, key,
+                    t_lasts, is_reverse, cs, uniforms, key, offset: int = 0,
                     retain_quant0: bool = True, use_key: bool = True,
                     honor_last_greedy: bool = False):
+    from ..models.nar import nar_backbone, nar_heads, nar_spk_embedding
+
     bs = c_text.shape[0]
     num_classes = nar_cfg.n_quant
     diff = diff_tables  # a MultinomialDiffusion (static tables are jnp constants)
+    n_lanes = x0_seed.shape[-1]
+    l_gen = x0_seed.shape[1] - offset  # frames whose lanes 1.. are model-sampled
 
     w = dsh.guidance_w
     cfg_batched = w != 1
+    # The speaker encoder is timestep-independent: compute its embedding ONCE
+    # (per CFG row) here instead of inside every scan step. Identical numerics —
+    # the inputs are loop-invariant.
     if cfg_batched:
         c_text2 = jnp.concatenate([c_text, c_text], 0)
-        c_codes2 = jnp.concatenate([c_codes, c_codes], 0)
         ctl2 = jnp.concatenate([c_texts_length, c_texts_length], 0)
-        ccl2 = jnp.concatenate([c_codes_length, c_codes_length], 0)
         xpm2 = jnp.concatenate([x_padding_mask, x_padding_mask], 0)
         drop2 = jnp.concatenate([jnp.zeros((bs,), bool), jnp.ones((bs,), bool)], 0)
+        codes2 = jnp.concatenate([c_codes, c_codes], 0)
+        ccl_d = jnp.where(drop2, 0, jnp.concatenate([c_codes_length, c_codes_length], 0))
+        codes_d = jnp.where(drop2[:, None, None], num_classes - 1, codes2)
+        spk2 = nar_spk_embedding(nar_params, nar_cfg, codes_d, ccl_d)
+    else:
+        spk1 = nar_spk_embedding(nar_params, nar_cfg, c_codes, c_codes_length)
 
-    def model_x0(x, t):
+    def model_x0_gen(x, t):
+        """CFG-combined x̂0 logits on the generated-frame slice, lanes 1..only.
+
+        The masked-known region (prompt frames under deep clone + the L0 lane,
+        where m=1) never consumes model logits — its update comes from
+        q_pred(x_known) — so the output heads, CFG combine, temperature softmax
+        and posterior all run on the (bs, l_gen, n_lanes-1, K) slice only. The
+        kept entries are bit-identical to the full-grid computation (every op is
+        positionwise).
+        """
         if cfg_batched:
-            out = nar_forward(nar_params, nar_cfg, c_text2, c_codes2, ctl2, ccl2,
-                              jnp.concatenate([x, x], 0), xpm2,
-                              jnp.concatenate([t, t], 0), drop_cond=drop2)
-            cond, uncond = out[:bs], out[bs:]
+            out = nar_backbone(nar_params, nar_cfg, c_text2, codes2, ctl2, ccl_d,
+                               jnp.concatenate([x, x], 0), xpm2,
+                               jnp.concatenate([t, t], 0), spk=spk2)
+            logits = nar_heads(nar_params, nar_cfg, out[:, offset:],
+                               lanes=range(1, n_lanes))
+            cond, uncond = logits[:bs], logits[bs:]
             return w * cond + (1.0 - w) * uncond
-        return nar_forward(nar_params, nar_cfg, c_text, c_codes, c_texts_length,
-                           c_codes_length, x, x_padding_mask, t)
-
-    m_i = m.astype(jnp.int32)
+        out = nar_backbone(nar_params, nar_cfg, c_text, c_codes, c_texts_length,
+                           c_codes_length, x, x_padding_mask, t, spk=spk1)
+        return nar_heads(nar_params, nar_cfg, out[:, offset:],
+                         lanes=range(1, n_lanes))
 
     def step(carry, inp):
         x = carry
         i, t_last, is_rev, c = inp
         t = jnp.full((bs,), t_last, jnp.int32)
 
-        if use_key:
-            shape = x.shape + (num_classes,)
-            u0 = jax.random.uniform(jax.random.fold_in(key, 2 * i), shape)
-            u1 = jax.random.uniform(jax.random.fold_in(key, 2 * i + 1), shape)
-        else:
-            u0, u1 = uniforms[i, 0], uniforms[i, 1]
-
         def reverse(x):
-            x0_logits = model_x0(x, t).astype(jnp.float32)
+            x0_logits = model_x0_gen(x, t).astype(jnp.float32)
             log_x0 = jax.nn.log_softmax(x0_logits / dsh.x_0_temp, axis=-1)
+            if use_key:
+                u0 = jax.random.uniform(jax.random.fold_in(key, 3 * i),
+                                        log_x0.shape)
+                u1p = jax.random.uniform(jax.random.fold_in(key, 3 * i + 1),
+                                         (bs, offset, n_lanes, num_classes))
+                u1l = jax.random.uniform(jax.random.fold_in(key, 3 * i + 2),
+                                         (bs, l_gen, 1, num_classes))
+            else:
+                u0 = uniforms[i, 0][:, offset:, 1:]
+                u1p = uniforms[i, 1][:, :offset]
+                u1l = uniforms[i, 1][:, offset:, :1]
             # indexed q_posterior: x is one-hot by construction, so the x_t leg
             # collapses to a two-scalar select (bit-identical, ~6 fewer passes
-            # over the (bs, L, 8, K) tensor per step)
-            log_pred = diff.q_posterior_indexed(log_x0, x, t)
+            # over the grid tensor per step)
+            log_pred = diff.q_posterior_indexed(log_x0, x[:, offset:, 1:], t)
             unknown = diff.log_sample_categorical(log_pred, u0)
             # NOTE: the reference driver never forwards dsh.last_greedy to
             # reverse_diffusion (diffuser.py:461 omits the kwarg), so despite
@@ -99,12 +126,23 @@ def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
             if dsh.last_greedy and honor_last_greedy:
                 greedy = jnp.argmax(log_pred, axis=-1).astype(jnp.int32)
                 unknown = jnp.where(t_last == 0, greedy, unknown)
-            known_sample = diff.log_sample_categorical(
-                diff.q_pred_indexed(x_known, t), u1)
-            known = jnp.where(t_last == 0, x_known, known_sample)
-            return known * m_i + unknown * (1 - m_i)
+            # masked-known region: RePaint re-noises x_known (prompt block and
+            # the L0 lane); at t=0 it is taken verbatim.
+            kp_sample = diff.log_sample_categorical(
+                diff.q_pred_indexed(x_known[:, :offset], t), u1p)
+            kl_sample = diff.log_sample_categorical(
+                diff.q_pred_indexed(x_known[:, offset:, :1], t), u1l)
+            known_p = jnp.where(t_last == 0, x_known[:, :offset], kp_sample)
+            known_l = jnp.where(t_last == 0, x_known[:, offset:, :1], kl_sample)
+            gen_rows = jnp.concatenate([known_l, unknown], axis=2)
+            return jnp.concatenate([known_p, gen_rows], axis=1)
 
         def forward(x):
+            if use_key:
+                u0 = jax.random.uniform(jax.random.fold_in(key, 3 * i),
+                                        x.shape + (num_classes,))
+            else:
+                u0 = uniforms[i, 0]
             if dsh.enable_kevin_scaled_inference:
                 probs = diff.q_pred_one_timestep_scaled_indexed(x, t, c, dsh.jump_len)
             else:
@@ -191,6 +229,7 @@ def perform_simple_inference(nar_params, nar_cfg: ResidualTransformerConfig,
         nar_params, nar_cfg, dsh, diff, c_text, c_codes, c_texts_length,
         c_codes_length, x, x_known, m, x_padding_mask, x_quant0,
         jnp.asarray(t_lasts), jnp.asarray(is_reverse), jnp.asarray(cs),
-        uniforms, key_steps, retain_quant0=retain_quant0, use_key=use_key)
+        uniforms, key_steps, offset=offset, retain_quant0=retain_quant0,
+        use_key=use_key)
 
     return x_final[:, offset:]

@@ -76,9 +76,9 @@ def nar_spk_embedding(p, cfg: ResidualTransformerConfig, c_codes, c_codes_length
     return out[:, 0]
 
 
-def nar_forward(p, cfg: ResidualTransformerConfig, c_text, c_codes, c_texts_length,
-                c_codes_length, x, x_padding_mask, t, drop_cond=None):
-    """Denoiser forward.
+def nar_backbone(p, cfg: ResidualTransformerConfig, c_text, c_codes, c_texts_length,
+                 c_codes_length, x, x_padding_mask, t, drop_cond=None, spk=None):
+    """Denoiser backbone: everything up to (but excluding) the 8 output heads.
 
     Args:
         c_text: (bs, Lt) BPE text ids (padded).
@@ -88,17 +88,21 @@ def nar_forward(p, cfg: ResidualTransformerConfig, c_text, c_codes, c_texts_leng
         x_padding_mask: (bs, Lx) bool, True = padded.
         t: (bs,) diffusion timesteps.
         drop_cond: optional (bs,) bool — classifier-free-guidance conditioning drop.
+        spk: optional precomputed (bs, dim) speaker embedding. The speaker encoder
+            is timestep-independent, so the diffusion engine computes it ONCE
+            outside the 200-step scan and passes it in (identical numerics —
+            same inputs every step).
 
     Returns:
-        (bs, Lx, 8, n_quant) logits for x_0.
+        (bs, Lx, dim) decoder output (post final LayerNorm).
     """
     text_emb = p["text_embed"][c_text]
 
-    if drop_cond is not None:
-        c_codes_length = jnp.where(drop_cond, 0, c_codes_length)
-        c_codes = jnp.where(drop_cond[:, None, None], cfg.n_quant - 1, c_codes)
-
-    spk = nar_spk_embedding(p, cfg, c_codes, c_codes_length)  # (bs, dim)
+    if spk is None:
+        if drop_cond is not None:
+            c_codes_length = jnp.where(drop_cond, 0, c_codes_length)
+            c_codes = jnp.where(drop_cond[:, None, None], cfg.n_quant - 1, c_codes)
+        spk = nar_spk_embedding(p, cfg, c_codes, c_codes_length)  # (bs, dim)
 
     t_emb = timestep_embedding(t, cfg.t_emb_dim, dtype=text_emb.dtype)
     t_enc = linear(jax.nn.silu(linear(t_emb, p["t_enc_mlp"]["w0"], p["t_enc_mlp"]["b0"])),
@@ -121,20 +125,46 @@ def nar_forward(p, cfg: ResidualTransformerConfig, c_text, c_codes, c_texts_leng
     h = h + t_dec[:, None]
 
     memory = encoder_stack(p["encoder"], c, nhead=cfg.nhead, key_padding_mask=c_padding)
-    out = decoder_stack(p["decoder"], h, memory, nhead=cfg.nhead,
-                        tgt_key_padding_mask=x_padding_mask,
-                        memory_key_padding_mask=c_padding)
+    return decoder_stack(p["decoder"], h, memory, nhead=cfg.nhead,
+                         tgt_key_padding_mask=x_padding_mask,
+                         memory_key_padding_mask=c_padding)
 
-    # 8 heads: LayerNorm(eps=1e-5, torch default) -> Linear(dim -> n_quant)
+
+def nar_heads(p, cfg: ResidualTransformerConfig, out, lanes=None):
+    """The per-codebook output heads: LayerNorm(eps=1e-5) -> Linear(dim -> n_quant).
+
+    Args:
+        out: (bs, L, dim) decoder output (any L — the diffusion engine passes a
+            frame slice when only part of the grid consumes model logits).
+        lanes: optional list of codebook indices to compute (default: all 8).
+            In deep-clone inference the masked-known region (prompt frames and
+            the AR-pinned L0 lane) never reads x̂0 logits, so the engine requests
+            lanes 1..7 only.
+
+    Returns:
+        (bs, L, len(lanes), n_quant) logits.
+    """
     from ..ops.quant import index_quant, linear_any
     rd = p["residual_decoder"]
+    if lanes is None:
+        lanes = range(cfg.pred_quant_levels)
 
     def head(i):
         hn = layer_norm(out, rd["ln_w"][i], rd["ln_b"][i], eps=1e-5)
         return linear_any(hn, index_quant(rd["lin_w"], i), rd["lin_b"][i])
 
-    logits = jnp.stack([head(i) for i in range(cfg.pred_quant_levels)], axis=2)
-    return logits  # (bs, Lx, n_q, n_quant)
+    return jnp.stack([head(i) for i in lanes], axis=2)
+
+
+def nar_forward(p, cfg: ResidualTransformerConfig, c_text, c_codes, c_texts_length,
+                c_codes_length, x, x_padding_mask, t, drop_cond=None, spk=None):
+    """Full denoiser forward: backbone + all 8 heads.
+
+    Returns (bs, Lx, 8, n_quant) logits for x_0 (see nar_backbone for args).
+    """
+    out = nar_backbone(p, cfg, c_text, c_codes, c_texts_length, c_codes_length,
+                       x, x_padding_mask, t, drop_cond=drop_cond, spk=spk)
+    return nar_heads(p, cfg, out)
 
 
 # ----------------------------------------------------------------------------
