@@ -1,15 +1,27 @@
 """VMEM-resident bidirectional attention (Pallas) for the NAR self-attention.
 
 The NAR decoder runs 16 layers of full self-attention over ~1.2k frames at CFG
-batch 2: the XLA path materializes (B, H, L, L) fp32 score/prob tensors in HBM
-(~190 MB each, several passes -> ~10 ms/step of pure traffic). Here each grid
-program computes one (q-block x all-keys) tile entirely in VMEM: scores, key-
-padding bias, softmax, and the PV contraction never touch HBM.
+batch 2: the XLA path materializes (B, H, L, L) fp32 score/prob tensors (20 TF/s
+effective at NAR geometry); this kernel computes (q-block x all-keys) tiles
+entirely in VMEM — scores, key bias, softmax and the PV contraction never touch
+HBM.
 
-Layout contract: inputs arrive (B, H, Lp, D) with Lp padded to the q-block size;
-the additive key bias arrives (B, 8, Lp) (8 copies on the sublane axis to satisfy
-TPU tiling; row 0 is used). Padded queries produce garbage rows that the caller
-slices off; padded keys carry -inf bias.
+Design notes (measured on v5e at (2, 16, 1200, 64)):
+* Operates directly on the model's flattened (B, L, H*D) layout: one DMA per
+  q-block covers every head, and the per-head (B, H, L, D) transpose copies +
+  pads of an earlier version (~55 us/layer of XLA "data formatting") disappear.
+  Heads are walked with static 64-lane slices inside the kernel.
+* QK/PV dots keep the input dtype (bf16 -> f32 MXU accumulation); an earlier
+  fp32-upcast version ran the MXU at 1/6 peak. At head_dim 64 the contraction
+  is half the systolic depth, so ~98 TF/s is the attainable ceiling; softmax
+  VPU work is the other half of the budget.
+* Softmax normalization is deferred: PV contracts unnormalized exp weights and
+  the output is divided by the row sum afterwards — one (BQ, D) divide instead
+  of a (BQ, Lk) one.
+* Key padding (both the lane-alignment pad to a multiple of 128 and the user's
+  key_padding_mask) is applied in-kernel: an iota comparison for the alignment
+  pad, a bias add for the user mask. q-side pad rows are garbage, sliced off by
+  the caller.
 """
 
 from __future__ import annotations
@@ -20,51 +32,85 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-BLK_Q = 256
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
-    """Blocks: q (1,1,BLK_Q,D); k/v (1,1,Lp,D); bias (1,8,Lp); out like q."""
-    d = q_ref.shape[-1]
-    q = q_ref[0, 0].astype(jnp.float32)           # (BLK_Q, D)
-    k = k_ref[0, 0].astype(jnp.float32)           # (Lp, D)
-    scale = 1.0 / (d ** 0.5)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    s = s + bias_ref[0, 0:1, :]                    # (1, Lp) broadcast
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=1, keepdims=True)
-    v = v_ref[0, 0].astype(jnp.float32)
-    o_ref[0, 0] = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_blk: int, lk: int,
+                scale: float, bias_ref=None):
+    """Blocks: q/o (1, BQ, hpb*D); k/v (1, Lkp, hpb*D); bias (1, 8, Lkp).
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def mha_padded_pallas(q, k, v, bias, interpret: bool = False):
-    """Attention over padded inputs.
-
-    Args:
-        q/k/v: (B, H, Lp, D), Lp % BLK_Q == 0.
-        bias: (B, 8, Lp) additive key bias (-inf at padded keys), fp32.
-    Returns:
-        (B, H, Lp, D) in q.dtype.
+    The lane axis carries ``heads_per_blk`` heads (chosen so hpb*D is a
+    128-lane multiple); each head is a static 64-lane sub-slice.
     """
-    b, h, lp, d = q.shape
-    grid = (b, h, lp // BLK_Q)
+    hd = q_ref.shape[-1]
+    d = hd // heads_per_blk
+    lkp = k_ref.shape[1]
+    for hi in range(heads_per_blk):
+        sl = slice(hi * d, (hi + 1) * d)
+        q = q_ref[0, :, sl]                        # (BQ, D)
+        k = k_ref[0, :, sl]                        # (Lkp, D)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0:1, :]
+        if lkp != lk:
+            j = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(j < lk, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        r = jnp.sum(p, axis=1, keepdims=True)      # (BQ, 1)
+        o = jax.lax.dot_general(p.astype(q.dtype), v_ref[0, :, sl],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (o / r).astype(o_ref.dtype)
+
+
+def _kernel_nobias(q_ref, k_ref, v_ref, o_ref, *, heads_per_blk, lk, scale):
+    _mha_kernel(q_ref, k_ref, v_ref, o_ref, heads_per_blk=heads_per_blk,
+                lk=lk, scale=scale)
+
+
+def _kernel_bias(q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads_per_blk, lk, scale):
+    _mha_kernel(q_ref, k_ref, v_ref, o_ref, heads_per_blk=heads_per_blk,
+                lk=lk, scale=scale, bias_ref=bias_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("nhead", "lk", "blk_q", "interpret"))
+def _call(q, k, v, bias, nhead: int, lk: int, blk_q: int, interpret: bool):
+    b, lqp, hd = q.shape
+    lkp = k.shape[1]
+    d = hd // nhead
+    # lane block = smallest head group reaching a 128 multiple (2 heads at D=64)
+    hpb = nhead
+    for cand in range(1, nhead + 1):
+        if nhead % cand == 0 and (cand * d) % 128 == 0:
+            hpb = cand
+            break
+    scale = 1.0 / (d ** 0.5)
+    grid = (b, nhead // hpb, lqp // blk_q)
+    hb = hpb * d
+    in_specs = [
+        pl.BlockSpec((1, blk_q, hb), lambda bi, hi, qi: (bi, qi, hi)),
+        pl.BlockSpec((1, lkp, hb), lambda bi, hi, qi: (bi, 0, hi)),
+        pl.BlockSpec((1, lkp, hb), lambda bi, hi, qi: (bi, 0, hi)),
+    ]
+    args = [q, k, v]
+    if bias is None:
+        kernel = functools.partial(_kernel_nobias, heads_per_blk=hpb, lk=lk,
+                                   scale=scale)
+    else:
+        kernel = functools.partial(_kernel_bias, heads_per_blk=hpb, lk=lk,
+                                   scale=scale)
+        in_specs.append(pl.BlockSpec((1, 8, lkp), lambda bi, hi, qi: (bi, 0, 0)))
+        args.append(bias)
     return pl.pallas_call(
-        _kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, BLK_Q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, lp, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, lp, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 8, lp), lambda bi, hi, qi: (bi, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, BLK_Q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, blk_q, hb), lambda bi, hi, qi: (bi, qi, hi)),
         interpret=interpret,
-    )(q, k, v, bias)
+    )(*args)
 
 
 def sdpa_pallas(q, k, v, key_padding_mask=None, interpret: bool = False):
@@ -77,22 +123,28 @@ def sdpa_pallas(q, k, v, key_padding_mask=None, interpret: bool = False):
         (B, L, H, D) in q.dtype.
     """
     b, l, h, d = q.shape
-    lp = -(-l // BLK_Q) * BLK_Q
-    pad = lp - l
+    lkp = -(-l // 128) * 128         # k rows: lane multiple for the score tile
+    # Whole-sequence q-blocks measured fastest at NAR geometry (fewer programs,
+    # 189 vs 204-224 us at (2,16,1200,64)); cap the block so the two live
+    # (blk_q, lkp) fp32 score temporaries stay within ~14 MB of VMEM.
+    max_blk = max(256, (14_000_000 // (lkp * 8) // 8) * 8)
+    blk_q = min(-(-l // 8) * 8, max_blk)
+    lqp = -(-l // blk_q) * blk_q     # q rows: pad to a whole q-block
+    q2 = q.reshape(b, l, h * d)
+    k2 = k.reshape(b, l, h * d)
+    v2 = v.reshape(b, l, h * d)
+    if lqp != l:
+        q2 = jnp.pad(q2, ((0, 0), (0, lqp - l), (0, 0)))
+    if lkp != l:
+        k2 = jnp.pad(k2, ((0, 0), (0, lkp - l), (0, 0)))
+        v2 = jnp.pad(v2, ((0, 0), (0, lkp - l), (0, 0)))
 
-    def prep(x):
-        x = jnp.transpose(x, (0, 2, 1, 3))  # (B, H, L, D)
-        if pad:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        return x
+    bias = None
+    if key_padding_mask is not None:
+        mask = jnp.pad(key_padding_mask, ((0, 0), (0, lkp - l)),
+                       constant_values=True)
+        bias = jnp.where(mask, -jnp.inf, 0.0).astype(jnp.float32)
+        bias = jnp.broadcast_to(bias[:, None, :], (b, 8, lkp))
 
-    qt, kt, vt = prep(q), prep(k), prep(v)
-    if key_padding_mask is None:
-        key_padding_mask = jnp.zeros((b, l), bool)
-    mask = jnp.pad(key_padding_mask, ((0, 0), (0, pad)), constant_values=True)
-    bias = jnp.where(mask, -jnp.inf, 0.0).astype(jnp.float32)
-    bias = jnp.broadcast_to(bias[:, None, :], (b, 8, lp))
-
-    out = mha_padded_pallas(qt, kt, vt, bias, interpret=interpret)
-    out = jnp.transpose(out, (0, 2, 1, 3))[:, :l]
-    return out
+    out = _call(q2, k2, v2, bias, nhead=h, lk=l, blk_q=blk_q, interpret=interpret)
+    return out[:, :l].reshape(b, l, h, d)
