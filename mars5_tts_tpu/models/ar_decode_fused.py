@@ -26,7 +26,8 @@ import numpy as np
 from ..ops.pallas import enabled as pallas_enabled
 from ..ops.pallas.decode_layer import (FusedDims, build_fused_pack,
                                        fused_decode_layers,
-                                       fused_step_emulation, make_dims)
+                                       fused_step_emulation, make_dims,
+                                       quantize_kv_rows)
 from ..ops.quant import quantize_weight, linear_q8
 from ..ops.norms import rms_norm
 from .ar import CodecLMConfig, codeclm_prefill, spk_embedding
@@ -37,8 +38,9 @@ class FusedState(NamedTuple):
     tokens: jax.Array      # (1, max_len) int32
     cur: jax.Array         # (1,)
     n_gen: jax.Array       # (1,)
-    cache_k: jax.Array     # (L, W_pad, d) bf16 — layer-flat fused layout
-    cache_v: jax.Array
+    cache_k: jax.Array     # (L, W_pad, d) int8 — layer-flat fused layout
+    cache_v: jax.Array     # (L, W_pad, d) int8
+    kv_scales: jax.Array   # (L, 2, W_pad) f32 per-position K/V dequant scales
     counts: jax.Array      # (1, V)
     uniforms: jax.Array    # (max_len, 1)
     est_len: jax.Array     # (1,)
@@ -60,32 +62,37 @@ def prepare_fused(params, cfg: CodecLMConfig, max_len: int):
 
 
 def _fused_backbone_step(fp, dims: FusedDims, cfg: CodecLMConfig, token, pos,
-                         cache_k, cache_v, interpret: bool):
+                         cache_k, cache_v, kv_scales, interpret: bool):
     """One-token forward: embed -> megakernel -> final norm -> int8 head."""
     x = fp["embed"][token].astype(jnp.bfloat16)         # (1, d)
     x = jnp.concatenate([x, jnp.zeros((7, dims.dim), jnp.bfloat16)], axis=0)
     if interpret is None:  # pure-jnp emulation (CPU test oracle)
         h, k_new, v_new = fused_step_emulation(
-            fp, x, pos, cache_k, cache_v, dims=dims, norm_eps=cfg.norm_eps)
+            fp, x, pos, cache_k, cache_v, kv_scales, dims=dims,
+            norm_eps=cfg.norm_eps)
     else:
         h, k_new, v_new = fused_decode_layers(
-            fp, x, pos, cache_k, cache_v, dims=dims, norm_eps=cfg.norm_eps,
-            interpret=interpret)
+            fp, x, pos, cache_k, cache_v, kv_scales, dims=dims,
+            norm_eps=cfg.norm_eps, interpret=interpret)
     h = rms_norm(h[0:1].astype(jnp.bfloat16), fp["final_norm"], cfg.norm_eps)
     logits = linear_q8(h, fp["head_q"], fp["head_s"]).astype(jnp.float32)
     slot = jnp.mod(pos, dims.window)
-    cache_k = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype), (0, slot, 0))
-    cache_v = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype), (0, slot, 0))
-    return logits, cache_k, cache_v
+    k8, ks_new = quantize_kv_rows(k_new)      # (L, 1, d) -> (L, 1)
+    v8, vs_new = quantize_kv_rows(v_new)
+    cache_k = jax.lax.dynamic_update_slice(cache_k, k8, (0, slot, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, v8, (0, slot, 0))
+    s_new = jnp.concatenate([ks_new, vs_new], axis=1)[:, :, None]  # (L, 2, 1)
+    kv_scales = jax.lax.dynamic_update_slice(kv_scales, s_new, (0, 0, slot))
+    return logits, cache_k, cache_v, kv_scales
 
 
 def _fused_body(fp, dims, cfg, s: ArSampling, st: FusedState,
                 interpret) -> FusedState:
     last_tok = st.tokens[0, (st.cur[0] - 1).clip(0)]
-    logits, ck, cv = _fused_backbone_step(
+    logits, ck, cv, kvs = _fused_backbone_step(
         fp, dims, cfg, last_tok[None], st.cur[0], st.cache_k, st.cache_v,
-        interpret)
-    st = st._replace(cache_k=ck, cache_v=cv)
+        st.kv_scales, interpret)
+    st = st._replace(cache_k=ck, cache_v=cv, kv_scales=kvs)
     # reuse the shared sampling pipeline via the DecodeState duck-type
     upd = _sample_and_update(logits, st, s)
     return upd
@@ -101,12 +108,17 @@ def _generate_fused_jit(params, fp, cfg: CodecLMConfig, dims: FusedDims,
     k_full, v_full = kvs                     # (L, 1, Pb+1, H, D)
     pb = prompt_padded.shape[1]
     d = dims.dim
-    k_flat = k_full[:, 0].reshape(dims.n_layers, pb + 1, d).astype(jnp.bfloat16)
-    v_flat = v_full[:, 0].reshape(dims.n_layers, pb + 1, d).astype(jnp.bfloat16)
-    cache_k = jnp.zeros((dims.n_layers, dims.w_pad, d), jnp.bfloat16)
+    k_flat = k_full[:, 0].reshape(dims.n_layers, pb + 1, d)
+    v_flat = v_full[:, 0].reshape(dims.n_layers, pb + 1, d)
+    k8, ks = quantize_kv_rows(k_flat)        # (L, Pb+1, d), (L, Pb+1)
+    v8, vs = quantize_kv_rows(v_flat)
+    cache_k = jnp.zeros((dims.n_layers, dims.w_pad, d), jnp.int8)
     cache_v = jnp.zeros_like(cache_k)
-    cache_k = cache_k.at[:, : pb + 1].set(k_flat)
-    cache_v = cache_v.at[:, : pb + 1].set(v_flat)
+    cache_k = cache_k.at[:, : pb + 1].set(k8)
+    cache_v = cache_v.at[:, : pb + 1].set(v8)
+    kv_scales = jnp.zeros((dims.n_layers, 2, dims.w_pad), jnp.float32)
+    kv_scales = kv_scales.at[:, 0, : pb + 1].set(ks)
+    kv_scales = kv_scales.at[:, 1, : pb + 1].set(vs)
 
     last_logits = jnp.take_along_axis(
         all_logits, prompt_len[:, None, None], axis=1)[:, 0].astype(jnp.float32)
@@ -116,6 +128,7 @@ def _generate_fused_jit(params, fp, cfg: CodecLMConfig, dims: FusedDims,
     st = FusedState(
         tokens=tokens, cur=prompt_len.astype(jnp.int32),
         n_gen=jnp.zeros((1,), jnp.int32), cache_k=cache_k, cache_v=cache_v,
+        kv_scales=kv_scales,
         counts=jnp.zeros((1, cfg.n_vocab), jnp.int32), uniforms=uniforms,
         est_len=est_len.astype(jnp.int32), done=jnp.zeros((1,), bool))
     st = _sample_and_update(last_logits, st, s)

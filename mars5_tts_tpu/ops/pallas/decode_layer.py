@@ -109,7 +109,7 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
 
     def kernel(pos_ref, x_ref, cosf_ref, sinf_ref, hmask_ref,
                pack_ref, scales_ref, w2s_ref, attn_n_ref, ffn_n_ref,
-               ck_ref, cv_ref,
+               ck_ref, cv_ref, kvs_ref,
                h_out_ref, knew_ref, vnew_ref,
                wbuf, sbuf, kbuf, vbuf,
                h, qb, kb, vb, w1b, w3b, uq, us, acc,
@@ -195,6 +195,11 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
             @pl.when(c == 3)
             def _():
                 # ---- attention (kernel-resident), then the wo projection ----
+                # K/V live int8 (per-position scales in the VMEM-resident
+                # kvs_ref): the score dot runs int8 x int8 against a per-head
+                # quantized q, and the per-key V scale folds into the softmax
+                # weights before an int8 PV dot — halves the dominant cache
+                # stream (7.9 -> 3.9 MB/layer/token).
                 wdma_c(3, slot, l).wait()
                 sdma_c(slot, i).wait()
                 kdma(l).wait()
@@ -205,10 +210,13 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
                 vnew_ref[l] = vb[0:1].astype(vnew_ref.dtype)
                 qflat = q[0:1]                      # (1, d)
                 qmat_t = hmask_ref[:] * qflat       # (H, d)
+                qm8, qms = _quant_rows(qmat_t)
+                ks = kvs_ref[l, 0:1, :]             # (1, Wp) per-key k scales
+                vs = kvs_ref[l, 1:2, :]             # (1, Wp) per-key v scales
                 scores_t = jax.lax.dot_general(
-                    qmat_t.astype(jnp.bfloat16), kbuf[:],
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale  # (H, Wp)
+                    qm8, kbuf[:], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32
+                ).astype(jnp.float32) * qms * ks * scale         # (H, Wp)
                 scores_t = jnp.where(valid, scores_t, -jnp.inf)
                 self_s = jnp.sum(qmat_t * k_new[0:1], axis=-1,
                                  keepdims=True) * scale          # (H, 1)
@@ -216,10 +224,11 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
                 p_t = jnp.exp(scores_t - m)
                 p_self = jnp.exp(self_s - m)
                 denom = jnp.sum(p_t, axis=-1, keepdims=True) + p_self  # (H, 1)
+                pv8, ps = _quant_rows(p_t * vs)
                 out_all = jax.lax.dot_general(
-                    p_t.astype(jnp.bfloat16), vbuf[:],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)          # (H, d)
+                    pv8, vbuf[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32
+                ).astype(jnp.float32) * ps                       # (H, d)
                 fold = jnp.sum(out_all / denom * hmask_ref[:], axis=0,
                                keepdims=True)                    # (1, d)
                 self_contrib = jnp.sum(hmask_ref[:] * (p_self / denom), axis=0,
@@ -307,17 +316,21 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "norm_eps", "interpret"))
-def fused_decode_layers(fp, x, pos, cache_k, cache_v, *, dims: FusedDims,
-                        norm_eps: float = 1e-5, interpret: bool = False):
+def fused_decode_layers(fp, x, pos, cache_k, cache_v, kv_scales, *,
+                        dims: FusedDims, norm_eps: float = 1e-5,
+                        interpret: bool = False):
     """Run all transformer layers for one decode token through the megakernel.
 
     Args:
         fp: fused param bundle from build_fused_pack (pack/scales/norms/...).
         x: (8, d) bf16 embedded token (row 0 real, rest zeros).
         pos: () int32 absolute position of this token.
-        cache_k/cache_v: (L, W_pad, d) bf16 ring caches (layer-flat layout).
+        cache_k/cache_v: (L, W_pad, d) int8 ring caches (layer-flat layout).
+        kv_scales: (L, 2, W_pad) f32 per-position dequant scales (row 0 = K,
+            row 1 = V); small enough to stay VMEM-resident.
     Returns:
-        (h (8, d) f32 pre-final-norm, k_new (L, 1, d) bf16, v_new (L, 1, d) bf16).
+        (h (8, d) f32 pre-final-norm, k_new (L, 1, d) f32, v_new (L, 1, d) f32)
+        — the caller quantizes the new rows into the caches.
     """
     d = dims.dim
     cos, sin = _rope_flat(pos, dims)
@@ -327,8 +340,8 @@ def fused_decode_layers(fp, x, pos, cache_k, cache_v, *, dims: FusedDims,
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((8, d), jnp.float32),
-            jax.ShapeDtypeStruct((dims.n_layers, 1, d), jnp.bfloat16),
-            jax.ShapeDtypeStruct((dims.n_layers, 1, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((dims.n_layers, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((dims.n_layers, 1, d), jnp.float32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # pos (1,1)
@@ -343,6 +356,7 @@ def fused_decode_layers(fp, x, pos, cache_k, cache_v, *, dims: FusedDims,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ffn norms
             pl.BlockSpec(memory_space=pl.ANY),       # cache_k
             pl.BlockSpec(memory_space=pl.ANY),       # cache_v
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # kv scales
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -352,8 +366,8 @@ def fused_decode_layers(fp, x, pos, cache_k, cache_v, *, dims: FusedDims,
         scratch_shapes=[
             pltpu.VMEM((NBUF, maxch, d), jnp.int8),        # weight chunks
             pltpu.VMEM((NBUF, 1, maxch), jnp.float32),     # chunk scales
-            pltpu.VMEM((dims.w_pad, d), jnp.bfloat16),     # K layer
-            pltpu.VMEM((dims.w_pad, d), jnp.bfloat16),     # V layer
+            pltpu.VMEM((dims.w_pad, d), jnp.int8),         # K layer (int8)
+            pltpu.VMEM((dims.w_pad, d), jnp.int8),         # V layer (int8)
             pltpu.VMEM((8, d), jnp.float32),               # h
             pltpu.VMEM((8, d), jnp.float32),               # q raw
             pltpu.VMEM((8, d), jnp.float32),               # k raw
@@ -372,8 +386,20 @@ def fused_decode_layers(fp, x, pos, cache_k, cache_v, *, dims: FusedDims,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(jnp.reshape(pos.astype(jnp.int32), (1, 1)), x, cos, sin, fp["hmask"],
       fp["pack"], fp["scales"], fp["w2_scales"], fp["attn_norms"],
-      fp["ffn_norms"], cache_k, cache_v)
+      fp["ffn_norms"], cache_k, cache_v, kv_scales)
     return out
+
+
+def quantize_kv_rows(x):
+    """Per-position int8 quantization of K/V rows: (..., P, d) -> (q, scales).
+
+    Scales have shape x.shape[:-1] (one per position); zero rows quantize to
+    zeros with the clamped minimum scale.
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return q, s[..., 0]
 
 
 def _rope_flat(pos, dims: FusedDims):
@@ -453,14 +479,18 @@ def build_fused_pack(params, cfg, dims: FusedDims):
     }
 
 
-def fused_step_emulation(fp, x, pos, cache_k, cache_v, *, dims: FusedDims,
-                         norm_eps: float = 1e-5, quantized: bool = True):
+def fused_step_emulation(fp, x, pos, cache_k, cache_v, kv_scales=None, *,
+                         dims: FusedDims, norm_eps: float = 1e-5,
+                         quantized: bool = True):
     """Pure-jnp emulation of the megakernel's exact quantized math (oracle).
 
-    ``quantized=False`` replaces every W8A8 dot with an fp32 dot against the
-    dequantized weights — used by tests to check the kernel's STRUCTURE (pack
-    layout, flat RoPE, mask-fold attention, ring masking) against the XLA
-    decode path with identical weights, isolating layout bugs from quant noise.
+    ``quantized=True`` expects int8 caches + ``kv_scales`` (L, 2, W_pad) and
+    mirrors the kernel's int8-KV attention bit-for-bit. ``quantized=False``
+    replaces every W8A8 dot with an fp32 dot against the dequantized weights
+    and takes raw f32/bf16 caches — used by tests to check the kernel's
+    STRUCTURE (pack layout, flat RoPE, mask-fold attention, ring masking)
+    against the XLA decode path with identical weights, isolating layout bugs
+    from quant noise.
     """
     L, d, H, Dh = dims.n_layers, dims.dim, dims.n_heads, dims.head_dim
     fch, W, Wp = dims.fch, dims.window, dims.w_pad
@@ -516,22 +546,37 @@ def fused_step_emulation(fp, x, pos, cache_k, cache_v, *, dims: FusedDims,
         kx = dot8(xq8, xs, wk8, sk)
         v = dot8(xq8, xs, wv8, sv)
         q, k_new = rope(q), rope(kx)
-        k_news.append(k_new[0:1].astype(jnp.bfloat16))
-        v_news.append(v[0:1].astype(jnp.bfloat16))
+        k_news.append(k_new[0:1].astype(jnp.float32))
+        v_news.append(v[0:1].astype(jnp.float32))
 
         qmat_t = hmask * q[0:1]
-        scores_t = jax.lax.dot_general(
-            qmat_t.astype(jnp.bfloat16), cache_k[l], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+        if quantized:
+            qm8, qms = _quant_rows(qmat_t)
+            ks = kv_scales[l, 0:1, :]
+            scores_t = jax.lax.dot_general(
+                qm8, cache_k[l], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * qms * ks * scale
+        else:
+            scores_t = jax.lax.dot_general(
+                qmat_t.astype(jnp.bfloat16), cache_k[l], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
         scores_t = jnp.where(valid, scores_t, -jnp.inf)
         self_s = jnp.sum(qmat_t * k_new[0:1], axis=-1, keepdims=True) * scale
         m = jnp.maximum(jnp.max(scores_t, axis=-1, keepdims=True), self_s)
         p_t = jnp.exp(scores_t - m)
         p_self = jnp.exp(self_s - m)
         denom = jnp.sum(p_t, axis=-1, keepdims=True) + p_self
-        out_all = jax.lax.dot_general(
-            p_t.astype(jnp.bfloat16), cache_v[l], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if quantized:
+            vs = kv_scales[l, 1:2, :]
+            pv8, ps = _quant_rows(p_t * vs)
+            out_all = jax.lax.dot_general(
+                pv8, cache_v[l], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32) * ps
+        else:
+            out_all = jax.lax.dot_general(
+                p_t.astype(jnp.bfloat16), cache_v[l], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         fold = jnp.sum(out_all / denom * hmask, axis=0, keepdims=True)
         attn = fold + jnp.sum(hmask * (p_self / denom), axis=0,
                               keepdims=True) * v[0:1]
