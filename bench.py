@@ -38,7 +38,8 @@ REF_SECONDS = 6.0
 
 
 # AR decode mode: "fused" (default; int8 Pallas megakernel, the production
-# serving config) | "int8" (XLA weight-only int8) | "bf16" (XLA bf16 parity path)
+# serving config) | "fused4" (int4 nibble-packed weights, fastest) |
+# "int8" (XLA weight-only int8) | "bf16" (XLA bf16 parity path)
 BENCH_AR = os.environ.get("BENCH_AR",
                           "int8" if os.environ.get("BENCH_INT8") == "1" else "fused")
 # NAR mode: "int8" (default; W8A8 XLA dots) | "bf16" (parity path)
@@ -63,9 +64,10 @@ def build():
 
     ar = init_codeclm(key, ar_cfg, dtype=jnp.bfloat16)
     fused = None
-    if BENCH_AR == "fused":
+    if BENCH_AR in ("fused", "fused4"):
         from mars5_tts_tpu.models.ar_decode_fused import prepare_fused
-        fused = prepare_fused(ar, ar_cfg, max_len=_MAX_LEN)  # (bundle, dims)
+        fused = prepare_fused(ar, ar_cfg, max_len=_MAX_LEN,
+                              wbits=4 if BENCH_AR == "fused4" else 8)
     elif BENCH_AR == "int8":
         from mars5_tts_tpu.ops.quant import quantize_codeclm
         ar = quantize_codeclm(ar)

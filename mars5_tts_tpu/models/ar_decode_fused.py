@@ -47,12 +47,15 @@ class FusedState(NamedTuple):
     done: jax.Array        # (1,)
 
 
-def prepare_fused(params, cfg: CodecLMConfig, max_len: int):
-    """Build the decode-time bundle: int8 pack + quantized head + embed/norm.
+def prepare_fused(params, cfg: CodecLMConfig, max_len: int, wbits: int = 8):
+    """Build the decode-time bundle: quantized pack + head + embed/norm.
 
     ``params`` are the raw (bf16) CodecLM params; returns (bundle, dims).
+    ``wbits``: backbone weight precision — 8 (default, W8A8) or 4
+    (nibble-packed int4 weights, halves the dominant weight stream; quality
+    characterized in tests/test_quant.py + scripts/bench_quality_modes.py).
     """
-    dims = make_dims(cfg, max_len)
+    dims = make_dims(cfg, max_len, wbits=wbits)
     fp = build_fused_pack(params, cfg, dims)
     hq, hs = quantize_weight(params["ar"]["output"], axis=-1)
     fp["head_q"], fp["head_s"] = hq, hs.astype(jnp.float32)

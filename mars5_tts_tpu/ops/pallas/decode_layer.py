@@ -62,6 +62,7 @@ class FusedDims:
     head_dim: int       # dim == n_heads * head_dim; even
     window: int         # ring window (logical)
     w_pad: int          # cache leading dim, window rounded up to 128
+    wbits: int = 8      # backbone weight precision: 8 (int8) or 4 (nibble-packed)
 
     @property
     def fch(self) -> int:
@@ -98,6 +99,26 @@ def _rms(x, w, eps):
     return n * w
 
 
+def _unpack4(b):
+    """Split nibble-packed int4 pairs: int8 (R, C) -> (low, high) int8 (R, C).
+
+    Byte layout (build_fused_pack): low nibble = column c of the LEFT half of
+    the original matrix, high nibble = column c of the RIGHT half. Runs on the
+    VPU via int32 shifts (int8 shifts don't lower in Mosaic); measured
+    ~0.8 us per (1536, 768) chunk — fully hidden behind the weight DMA.
+    """
+    w32 = b.astype(jnp.int32)
+    low = jax.lax.shift_right_arithmetic(jax.lax.shift_left(w32, 28), 28)
+    high = jax.lax.shift_right_arithmetic(w32, 4)
+    return low.astype(jnp.int8), high.astype(jnp.int8)
+
+
+def _pack4(qa, qb):
+    """Inverse of _unpack4: two int8-valued int4 matrices -> packed bytes."""
+    b = ((qb.astype(jnp.int32) & 15) << 4) | (qa.astype(jnp.int32) & 15)
+    return ((b + 128) % 256 - 128).astype(jnp.int8)
+
+
 def _make_kernel(dims: FusedDims, norm_eps: float):
     L, d, H, Dh = dims.n_layers, dims.dim, dims.n_heads, dims.head_dim
     f, fch = dims.hidden, dims.fch
@@ -106,6 +127,7 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
     offs, rows = dims.stage_offsets, dims.stage_rows
     n_steps = L * 10
     scale = 1.0 / (Dh ** 0.5)
+    W4 = dims.wbits == 4
 
     def kernel(pos_ref, x_ref, cosf_ref, sinf_ref, hmask_ref,
                pack_ref, scales_ref, w2s_ref, attn_n_ref, ffn_n_ref,
@@ -169,16 +191,36 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
             slot = jax.lax.rem(i, NBUF)
             nslot = jax.lax.rem(i + NBUF, NBUF)
 
+            def dot_rows(xq8, xs, rows):
+                """xq8 (8, d) @ chunk rows -> scaled f32 (8, rows).
+
+                wbits=4: two half-contraction int8 dots against the unpacked
+                nibble planes, each with its own per-output-channel scale (the
+                column split doubles as a free 2-group quantization grid).
+                Multiply order matches fused_step_emulation bit-for-bit.
+                """
+                if W4:
+                    low, high = _unpack4(wbuf[slot, :rows])
+                    ya = jax.lax.dot_general(
+                        xq8[:, : d // 2], low, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    yb = jax.lax.dot_general(
+                        xq8[:, d // 2:], high, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    return (ya.astype(jnp.float32) * sbuf[slot, 0:1, :rows]
+                            + yb.astype(jnp.float32) * sbuf[slot, 1:2, :rows]) * xs
+                y = jax.lax.dot_general(
+                    xq8, wbuf[slot, :rows], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                return y.astype(jnp.float32) * xs * sbuf[slot, 0:1, :rows]
+
             def stage_qkvwo(c_static, dest):
                 """Wait chunk, dot vs attn-normed h, store scaled output."""
                 wdma_c(c_static, slot, l).wait()
                 sdma_c(slot, i).wait()
                 hn = _rms(h[:], attn_n_ref[l], norm_eps)
                 xq8, xs = _quant_rows(hn)
-                y = jax.lax.dot_general(
-                    xq8, wbuf[slot, :d], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                dest[:] = y.astype(jnp.float32) * xs * sbuf[slot][:, :d]
+                dest[:] = dot_rows(xq8, xs, d)
 
             @pl.when(c == 0)
             def _():
@@ -235,21 +277,14 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
                                        keepdims=True) * vb[0:1]
                 attn = fold + self_contrib                       # (1, d)
                 a8, ascale = _quant_rows(jnp.broadcast_to(attn, (8, d)))
-                y = jax.lax.dot_general(
-                    a8, wbuf[slot, :d], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                h[:] += y.astype(jnp.float32) * ascale * sbuf[slot][:, :d]
+                h[:] += dot_rows(a8, ascale, d)
 
             def stage_ffn_in(c_static, dest, lane_off):
                 wdma_c(c_static, slot, l).wait()
                 sdma_c(slot, i).wait()
                 hn = _rms(h[:], ffn_n_ref[l], norm_eps)
                 xq8, xs = _quant_rows(hn)
-                y = jax.lax.dot_general(
-                    xq8, wbuf[slot, :fch], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                dest[:, lane_off:lane_off + fch] = (
-                    y.astype(jnp.float32) * xs * sbuf[slot][:, :fch])
+                dest[:, lane_off:lane_off + fch] = dot_rows(xq8, xs, fch)
 
             @pl.when(c == 4)
             def _():
@@ -279,10 +314,21 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
             def stage_w2(c_static, lane_off, add_out):
                 wdma_c(c_static, slot, l).wait()
                 sdma_c(slot, i).wait()  # w2t per-row scales unused (zeros)
-                y = jax.lax.dot_general(
-                    uq[:, lane_off:lane_off + fch], wbuf[slot, :fch],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
+                u_sl = uq[:, lane_off:lane_off + fch]
+                if W4:
+                    # w2t nibbles split the OUTPUT columns (d/2 | d/2): two
+                    # row-contraction dots, outputs concatenated on lanes.
+                    low, high = _unpack4(wbuf[slot, :fch])
+                    y = jnp.concatenate([
+                        jax.lax.dot_general(u_sl, low, (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.int32),
+                        jax.lax.dot_general(u_sl, high, (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.int32),
+                    ], axis=1)
+                else:
+                    y = jax.lax.dot_general(
+                        u_sl, wbuf[slot, :fch], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
                 if add_out:
                     y = acc[:] + y
                     h[:] += y.astype(jnp.float32) * us[:] * w2s_ref[l]
@@ -364,8 +410,9 @@ def fused_decode_layers(fp, x, pos, cache_k, cache_v, kv_scales, *,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, maxch, d), jnp.int8),        # weight chunks
-            pltpu.VMEM((NBUF, 1, maxch), jnp.float32),     # chunk scales
+            pltpu.VMEM((NBUF, maxch, d // (2 if dims.wbits == 4 else 1)),
+                       jnp.int8),                          # weight chunks
+            pltpu.VMEM((NBUF, 2, maxch), jnp.float32),     # chunk scales (2 grp)
             pltpu.VMEM((dims.w_pad, d), jnp.int8),         # K layer (int8)
             pltpu.VMEM((dims.w_pad, d), jnp.int8),         # V layer (int8)
             pltpu.VMEM((8, d), jnp.float32),               # h
@@ -416,12 +463,12 @@ def _rope_flat(pos, dims: FusedDims):
 # ---------------------------------------------------------------------------
 # pack construction + jnp emulation (test oracle / CPU fallback)
 
-def make_dims(cfg, max_len: int) -> FusedDims:
+def make_dims(cfg, max_len: int, wbits: int = 8) -> FusedDims:
     window = min(cfg.sliding_window, max_len + 1)
     return FusedDims(
         n_layers=cfg.n_layers, dim=cfg.dim, hidden=cfg.hidden_dim,
         n_heads=cfg.n_heads, head_dim=cfg.head_dim,
-        window=window, w_pad=-(-window // 128) * 128)
+        window=window, w_pad=-(-window // 128) * 128, wbits=wbits)
 
 
 def build_fused_pack(params, cfg, dims: FusedDims):
@@ -430,42 +477,82 @@ def build_fused_pack(params, cfg, dims: FusedDims):
     Accepts raw (bf16) params; the head/embed/norm handling for the engine
     wrapper lives in models/ar_decode_fused.py. RoPE row permutation is assumed
     already applied at conversion (ops/rope.apply_rope_halfsplit convention).
+
+    wbits=8: chunks are plain int8 (rows, d) with per-output-channel scales in
+    scale row 0. wbits=4: each byte packs the int4 for column c (low nibble,
+    left half of the matrix) and column c + d/2 (high nibble, right half); the
+    two halves are quantized independently (scale rows 0/1 — a free 2-group
+    grid along the contraction). w2t packs its OUTPUT columns the same way and
+    keeps its single per-output scale in w2_scales.
     """
     from ..quant import quantize_weight
 
     layers = params["ar"]["layers"]
     d, fch = dims.dim, dims.fch
     L = dims.n_layers
+    w4 = dims.wbits == 4
 
     def q(w):  # (L, out, in) -> int8 (L, out, in), scales (L, out)
         qq, s = quantize_weight(w, axis=-1)
         return qq, s.astype(jnp.float32)
 
-    wq, sq = q(layers["wq"])
-    wk, sk = q(layers["wk"])
-    wv, sv = q(layers["wv"])
-    wo, so = q(layers["wo"])
-    w1, s1 = q(layers["w1"])
-    w3, s3 = q(layers["w3"])
-    w2, s2 = q(layers["w2"])              # (L, d, hidden), scale (L, d)
-    w2t = jnp.transpose(w2, (0, 2, 1))    # (L, hidden, d): rows = contraction
+    def q4(w):
+        """(L, out, in) -> packed (L, out, in/2), scales (L, 2, out)."""
+        d2 = w.shape[-1] // 2
+        qa, sa = quantize_weight(w[..., :d2], axis=-1, levels=7)
+        qb, sb = quantize_weight(w[..., d2:], axis=-1, levels=7)
+        return _pack4(qa, qb), jnp.stack([sa, sb], axis=1).astype(jnp.float32)
 
+    if w4:
+        wq, sq = q4(layers["wq"])
+        wk, sk = q4(layers["wk"])
+        wv, sv = q4(layers["wv"])
+        wo, so = q4(layers["wo"])
+        w1, s1 = q4(layers["w1"])
+        w3, s3 = q4(layers["w3"])
+        # w2: per-output (d) int4 scale, nibble-pack the transposed OUTPUT cols
+        w2q, s2 = quantize_weight(layers["w2"], axis=-1, levels=7)
+        s2 = s2.astype(jnp.float32)
+        w2t_full = jnp.transpose(w2q, (0, 2, 1))       # (L, hidden, d)
+        w2t = _pack4(w2t_full[..., : d // 2], w2t_full[..., d // 2:])
+    else:
+        wq, sq = q(layers["wq"])
+        wk, sk = q(layers["wk"])
+        wv, sv = q(layers["wv"])
+        wo, so = q(layers["wo"])
+        w1, s1 = q(layers["w1"])
+        w3, s3 = q(layers["w3"])
+        w2, s2 = q(layers["w2"])              # (L, d, hidden), scale (L, d)
+        w2t = jnp.transpose(w2, (0, 2, 1))    # (L, hidden, d): rows = contraction
+
+    pw = d // 2 if w4 else d
     pack = jnp.concatenate([wq, wk, wv, wo, w1, w3, w2t], axis=1)
-    pack = pack.reshape(L * dims.rows_per_layer, d)
+    pack = pack.reshape(L * dims.rows_per_layer, pw)
 
     maxch = max(dims.stage_rows)
-    zeros_f = jnp.zeros((L, fch), jnp.float32)
-    per_chunk = [sq, sk, sv, so,
-                 s1[:, :fch], s1[:, fch:], s3[:, :fch], s3[:, fch:],
-                 zeros_f, zeros_f]
+    if w4:
+        zeros_f = jnp.zeros((L, 2, fch), jnp.float32)
+        per_chunk = [sq, sk, sv, so,
+                     s1[:, :, :fch], s1[:, :, fch:],
+                     s3[:, :, :fch], s3[:, :, fch:],
+                     zeros_f, zeros_f]
+    else:
+        zeros_f = jnp.zeros((L, fch), jnp.float32)
+        per_chunk = [sq, sk, sv, so,
+                     s1[:, :fch], s1[:, fch:], s3[:, :fch], s3[:, fch:],
+                     zeros_f, zeros_f]
     chunks = []
     for l in range(L):
         for c in range(10):
             row = per_chunk[c][l]
-            if row.shape[0] < maxch:
-                row = jnp.pad(row, (0, maxch - row.shape[0]))
+            if not w4:
+                row = row[None]                      # (1, rows)
+            if row.shape[-1] < maxch:
+                row = jnp.pad(row, ((0, 0), (0, maxch - row.shape[-1])))
+            if row.shape[0] < 2:
+                row = jnp.pad(row, ((0, 2 - row.shape[0]), (0, 0)))
             chunks.append(row)
-    scales = jnp.stack(chunks).reshape(L * 10, 1, maxch)
+    scales = jnp.stack(chunks).reshape(L * 10, 2, maxch)
 
     hd = dims.head_dim
     hmask = (np.arange(d)[None, :] // hd == np.arange(dims.n_heads)[:, None])
@@ -511,10 +598,17 @@ def fused_step_emulation(fp, x, pos, cache_k, cache_v, kv_scales=None, *,
         sgn = jnp.where(first_half, -1.0, 1.0)
         return xf * cos + pair * sgn * sin
 
+    W4 = dims.wbits == 4
+    if W4 and not quantized:
+        raise NotImplementedError("structure (unquantized) oracle is wbits=8 only")
+    pw = d // 2 if W4 else d
+
     def get_chunk(l, c):
         off = l * RPL + offs[c]
-        return (jax.lax.dynamic_slice(fp["pack"], (off, 0), (rows[c], d)),
-                fp["scales"][l * 10 + c, 0, : rows[c]])
+        w = jax.lax.dynamic_slice(fp["pack"], (off, 0), (rows[c], pw))
+        if W4:
+            return w, fp["scales"][l * 10 + c, :, : rows[c]]      # (2, rows)
+        return w, fp["scales"][l * 10 + c, 0, : rows[c]]
 
     slots = jnp.arange(Wp)[None, :]
     slot_pos = pos - jnp.mod(pos - slots, W)
@@ -536,6 +630,17 @@ def fused_step_emulation(fp, x, pos, cache_k, cache_v, kv_scales=None, *,
                     xq, w8.astype(jnp.float32) * ws[:, None],
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
+            if W4:
+                # multiply order matches the kernel: (ya*sA + yb*sB) * xs
+                low, high = _unpack4(w8)
+                ya = jax.lax.dot_general(xq[:, : d // 2], low,
+                                         (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.int32)
+                yb = jax.lax.dot_general(xq[:, d // 2:], high,
+                                         (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.int32)
+                return (ya.astype(jnp.float32) * ws[0:1]
+                        + yb.astype(jnp.float32) * ws[1:2]) * xsc
             # multiply order matches the kernel exactly: (y * xs) * ws
             y = jax.lax.dot_general(xq, w8, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.int32)
@@ -605,10 +710,20 @@ def fused_step_emulation(fp, x, pos, cache_k, cache_v, kv_scales=None, *,
         w2b, _ = get_chunk(l, 9)
         if quantized:
             uq8, us = _quant_rows(u)
-            y = (jax.lax.dot_general(uq8[:, :fch], w2a, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.int32)
-                 + jax.lax.dot_general(uq8[:, fch:], w2b, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.int32))
+
+            def w2dot(u_sl, w):
+                if W4:
+                    low, high = _unpack4(w)
+                    return jnp.concatenate([
+                        jax.lax.dot_general(u_sl, low, (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.int32),
+                        jax.lax.dot_general(u_sl, high, (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.int32),
+                    ], axis=1)
+                return jax.lax.dot_general(u_sl, w, (((1,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.int32)
+
+            y = w2dot(uq8[:, :fch], w2a) + w2dot(uq8[:, fch:], w2b)
             h = h + y.astype(jnp.float32) * us * fp["w2_scales"][l]
         else:
             w2f = jnp.concatenate([w2a, w2b], 0).astype(jnp.float32)

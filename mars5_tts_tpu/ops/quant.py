@@ -15,15 +15,16 @@ import jax
 import jax.numpy as jnp
 
 
-def quantize_weight(w, axis: int = -1):
-    """Symmetric per-output-channel int8: w (..., out, in) -> (q, scale).
+def quantize_weight(w, axis: int = -1, levels: int = 127):
+    """Symmetric per-output-channel integer quantization: w -> (q, scale).
 
     ``axis`` is the reduction (input) axis; scales keep the other dims.
+    ``levels`` is the max magnitude (127 for int8, 7 for int4 nibbles).
     """
     amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis, keepdims=True)
-    scale = (amax / 127.0).astype(jnp.float32)
+    scale = (amax / levels).astype(jnp.float32)
     q = jnp.round(w.astype(jnp.float32) / jnp.maximum(scale, 1e-12))
-    q = jnp.clip(q, -127, 127).astype(jnp.int8)
+    q = jnp.clip(q, -levels, levels).astype(jnp.int8)
     return q, scale.squeeze(axis)
 
 

@@ -70,6 +70,57 @@ def test_kernel_matches_emulation(setup, pos):
     np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_e), rtol=0, atol=1e-6)
 
 
+@pytest.mark.parametrize("pos", [5, 30])
+def test_kernel_matches_emulation_w4(setup, pos):
+    """int4 nibble-packed mode: interpret kernel == jnp emulation."""
+    params, _, _ = setup
+    fp4, dims4 = prepare_fused(params, CFG, max_len=MAX_LEN, wbits=4)
+    assert dims4.wbits == 4
+    assert fp4["pack"].shape[-1] == dims4.dim // 2
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, dims4.dim), jnp.bfloat16)
+    x = x.at[1:].set(0)
+    (ck, ks), (cv, vs) = _rand_cache(dims4, 2), _rand_cache(dims4, 3)
+    kvs = jnp.stack([ks, vs], axis=1)
+    p = jnp.int32(pos)
+    h_e, k_e, v_e = fused_step_emulation(fp4, x, p, ck, cv, kvs, dims=dims4,
+                                         norm_eps=CFG.norm_eps)
+    h_k, k_k, v_k = fused_decode_layers(fp4, x, p, ck, cv, kvs, dims=dims4,
+                                        norm_eps=CFG.norm_eps, interpret=True)
+    np.testing.assert_allclose(np.asarray(h_k), np.asarray(h_e), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(k_k), np.asarray(k_e), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_e), rtol=0, atol=1e-6)
+
+
+def test_w4_pack_roundtrip():
+    """_pack4/_unpack4 are exact inverses over the full int4 range."""
+    from mars5_tts_tpu.ops.pallas.decode_layer import _pack4, _unpack4
+    rng = np.random.default_rng(0)
+    qa = jnp.asarray(rng.integers(-7, 8, (16, 256)), jnp.int8)
+    qb = jnp.asarray(rng.integers(-7, 8, (16, 256)), jnp.int8)
+    lo, hi = _unpack4(_pack4(qa, qb))
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(qa))
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(qb))
+
+
+def test_w4_generation_runs(setup):
+    """End-to-end int4 generation: emulation == interpret kernel tokens."""
+    params, _, _ = setup
+    fp4, dims4 = prepare_fused(params, CFG, max_len=MAX_LEN, wbits=4)
+    s = ArSampling(temperature=0.7, top_k=50, top_p=0.2, n_phones_gen=100,
+                   eos_idx=0, valid_start=10, valid_end=510, max_len=MAX_LEN)
+    prompt = np.arange(12, 22)
+    spk = np.random.default_rng(0).integers(0, 1024, (20, 8))
+    u = np.random.default_rng(1).random((MAX_LEN, 1))
+    t_emu, n_emu = ar_generate_fused(params, fp4, CFG, dims4, prompt, spk,
+                                     sampling=s, uniforms=u, interpret=None)
+    t_int, n_int = ar_generate_fused(params, fp4, CFG, dims4, prompt, spk,
+                                     sampling=s, uniforms=u, interpret=True)
+    assert n_emu == n_int
+    np.testing.assert_array_equal(t_emu, t_int)
+    gen = t_emu[len(prompt):]
+    assert ((gen >= 10) & (gen < 510)).all()
+
+
 def test_structure_matches_xla_engine(setup):
     """Unquantized emulation == XLA decode step with dequantized weights."""
     params32 = init_codeclm(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
