@@ -21,6 +21,10 @@ ensemble_size=1 — the only size the public API exposes — and is omitted.
 Randomness: Gumbel uniforms come from a threaded PRNG key, or from an injected
 ``uniforms`` array of shape (n_steps, 2, *x.shape, K) for the cross-framework
 parity harness (index 0: unknown-region draw; index 1: known-region draw).
+The key path draws the known-region / forward-step categoricals with the
+two-uniform fast samplers (multinomial.py ``*_indexed_sample`` — exact, ~10x
+fewer PRNG bits) and skips posterior normalization (Gumbel-max is
+shift-invariant); the injected-uniform path keeps the dense reference math.
 """
 
 from __future__ import annotations
@@ -46,7 +50,8 @@ def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
                     t_lasts, is_reverse, cs, uniforms, key, offset: int = 0,
                     retain_quant0: bool = True, use_key: bool = True,
                     honor_last_greedy: bool = False):
-    from ..models.nar import nar_backbone, nar_heads, nar_spk_embedding
+    from ..models.nar import (nar_decoder_apply, nar_enc_inputs, nar_heads,
+                              nar_spk_embedding, nar_timestep_mlps)
 
     bs = c_text.shape[0]
     num_classes = nar_cfg.n_quant
@@ -56,9 +61,13 @@ def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
 
     w = dsh.guidance_w
     cfg_batched = w != 1
-    # The speaker encoder is timestep-independent: compute its embedding ONCE
-    # (per CFG row) here instead of inside every scan step. Identical numerics —
-    # the inputs are loop-invariant.
+    T = diff.num_timesteps
+    # Loop-invariant precomputes (identical numerics — same inputs every step):
+    # * the speaker embedding is timestep-independent: ONCE per CFG row;
+    # * the encoder stream depends on t only through the additive t_enc
+    #   embedding, so ALL T encoder memories are computed here in one batched
+    #   forward (T*rows ~ 1/3 the FLOPs of a single decoder step) instead of
+    #   running the 8-layer encoder inside every scan step.
     if cfg_batched:
         c_text2 = jnp.concatenate([c_text, c_text], 0)
         ctl2 = jnp.concatenate([c_texts_length, c_texts_length], 0)
@@ -67,11 +76,24 @@ def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
         codes2 = jnp.concatenate([c_codes, c_codes], 0)
         ccl_d = jnp.where(drop2, 0, jnp.concatenate([c_codes_length, c_codes_length], 0))
         codes_d = jnp.where(drop2[:, None, None], num_classes - 1, codes2)
-        spk2 = nar_spk_embedding(nar_params, nar_cfg, codes_d, ccl_d)
+        spk = nar_spk_embedding(nar_params, nar_cfg, codes_d, ccl_d)
+        c_base, c_padding = nar_enc_inputs(nar_params, nar_cfg, c_text2, ctl2, spk)
     else:
-        spk1 = nar_spk_embedding(nar_params, nar_cfg, c_codes, c_codes_length)
+        spk = nar_spk_embedding(nar_params, nar_cfg, c_codes, c_codes_length)
+        c_base, c_padding = nar_enc_inputs(nar_params, nar_cfg, c_text,
+                                           c_texts_length, spk)
 
-    def model_x0_gen(x, t):
+    from ..models.layers import encoder_stack
+    rows, lc, dim = c_base.shape
+    t_enc_all, t_dec_all = nar_timestep_mlps(
+        nar_params, jnp.arange(T, dtype=jnp.int32), nar_cfg.t_emb_dim,
+        c_base.dtype)                                    # (T, dim) each
+    c_all = (c_base[None] + t_enc_all[:, None, None]).reshape(T * rows, lc, dim)
+    cp_all = jnp.broadcast_to(c_padding[None], (T, rows, lc)).reshape(T * rows, lc)
+    memory_all = encoder_stack(nar_params["encoder"], c_all, nhead=nar_cfg.nhead,
+                               key_padding_mask=cp_all).reshape(T, rows, lc, dim)
+
+    def model_x0_gen(x, t_last):
         """CFG-combined x̂0 logits on the generated-frame slice, lanes 1..only.
 
         The masked-known region (prompt frames under deep clone + the L0 lane,
@@ -81,16 +103,19 @@ def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
         kept entries are bit-identical to the full-grid computation (every op is
         positionwise).
         """
+        memory = jax.lax.dynamic_index_in_dim(memory_all, t_last, 0,
+                                              keepdims=False)
+        t_dec = jnp.broadcast_to(
+            jax.lax.dynamic_index_in_dim(t_dec_all, t_last, 0)[0][None], (rows, dim))
         if cfg_batched:
-            out = nar_backbone(nar_params, nar_cfg, c_text2, codes2, ctl2, ccl_d,
-                               jnp.concatenate([x, x], 0), xpm2,
-                               jnp.concatenate([t, t], 0), spk=spk2)
+            out = nar_decoder_apply(nar_params, nar_cfg, jnp.concatenate([x, x], 0),
+                                    xpm2, t_dec, memory, c_padding)
             logits = nar_heads(nar_params, nar_cfg, out[:, offset:],
                                lanes=range(1, n_lanes))
             cond, uncond = logits[:bs], logits[bs:]
             return w * cond + (1.0 - w) * uncond
-        out = nar_backbone(nar_params, nar_cfg, c_text, c_codes, c_texts_length,
-                           c_codes_length, x, x_padding_mask, t, spk=spk1)
+        out = nar_decoder_apply(nar_params, nar_cfg, x, x_padding_mask, t_dec,
+                                memory, c_padding)
         return nar_heads(nar_params, nar_cfg, out[:, offset:],
                          lanes=range(1, n_lanes))
 
@@ -100,23 +125,27 @@ def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
         t = jnp.full((bs,), t_last, jnp.int32)
 
         def reverse(x):
-            x0_logits = model_x0_gen(x, t).astype(jnp.float32)
+            x0_logits = model_x0_gen(x, t_last).astype(jnp.float32)
             log_x0 = jax.nn.log_softmax(x0_logits / dsh.x_0_temp, axis=-1)
             if use_key:
                 u0 = jax.random.uniform(jax.random.fold_in(key, 3 * i),
                                         log_x0.shape)
+                # known-region draws are two-value categoricals: 2 uniforms per
+                # position (distribution-exact) instead of a (…, K) Gumbel grid
                 u1p = jax.random.uniform(jax.random.fold_in(key, 3 * i + 1),
-                                         (bs, offset, n_lanes, num_classes))
+                                         (bs, offset, n_lanes, 2))
                 u1l = jax.random.uniform(jax.random.fold_in(key, 3 * i + 2),
-                                         (bs, l_gen, 1, num_classes))
+                                         (bs, l_gen, 1, 2))
             else:
                 u0 = uniforms[i, 0][:, offset:, 1:]
                 u1p = uniforms[i, 1][:, :offset]
                 u1l = uniforms[i, 1][:, offset:, :1]
             # indexed q_posterior: x is one-hot by construction, so the x_t leg
             # collapses to a two-scalar select (bit-identical, ~6 fewer passes
-            # over the grid tensor per step)
-            log_pred = diff.q_posterior_indexed(log_x0, x[:, offset:, 1:], t)
+            # over the grid tensor per step); the key path also skips the
+            # logsumexp normalization (Gumbel-max/argmax are shift-invariant)
+            log_pred = diff.q_posterior_indexed(log_x0, x[:, offset:, 1:], t,
+                                                normalize=not use_key)
             unknown = diff.log_sample_categorical(log_pred, u0)
             # NOTE: the reference driver never forwards dsh.last_greedy to
             # reverse_diffusion (diffuser.py:461 omits the kwarg), so despite
@@ -128,10 +157,14 @@ def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
                 unknown = jnp.where(t_last == 0, greedy, unknown)
             # masked-known region: RePaint re-noises x_known (prompt block and
             # the L0 lane); at t=0 it is taken verbatim.
-            kp_sample = diff.log_sample_categorical(
-                diff.q_pred_indexed(x_known[:, :offset], t), u1p)
-            kl_sample = diff.log_sample_categorical(
-                diff.q_pred_indexed(x_known[:, offset:, :1], t), u1l)
+            if use_key:
+                kp_sample = diff.q_pred_indexed_sample(x_known[:, :offset], t, u1p)
+                kl_sample = diff.q_pred_indexed_sample(x_known[:, offset:, :1], t, u1l)
+            else:
+                kp_sample = diff.log_sample_categorical(
+                    diff.q_pred_indexed(x_known[:, :offset], t), u1p)
+                kl_sample = diff.log_sample_categorical(
+                    diff.q_pred_indexed(x_known[:, offset:, :1], t), u1l)
             known_p = jnp.where(t_last == 0, x_known[:, :offset], kp_sample)
             known_l = jnp.where(t_last == 0, x_known[:, offset:, :1], kl_sample)
             gen_rows = jnp.concatenate([known_l, unknown], axis=2)
@@ -140,9 +173,12 @@ def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
         def forward(x):
             if use_key:
                 u0 = jax.random.uniform(jax.random.fold_in(key, 3 * i),
-                                        x.shape + (num_classes,))
-            else:
-                u0 = uniforms[i, 0]
+                                        x.shape + (2,))
+                if dsh.enable_kevin_scaled_inference:
+                    return diff.q_pred_one_timestep_scaled_indexed_sample(
+                        x, t, c, dsh.jump_len, u0)
+                return diff.q_pred_one_timestep_indexed_sample(x, t, u0)
+            u0 = uniforms[i, 0]
             if dsh.enable_kevin_scaled_inference:
                 probs = diff.q_pred_one_timestep_scaled_indexed(x, t, c, dsh.jump_len)
             else:

@@ -176,14 +176,72 @@ class MultinomialDiffusion:
         b = jnp.log(sig).reshape(shape) + b - self.log_num_classes
         return self._two_scalar_select(x_idx, a, b)
 
-    def q_posterior_indexed(self, log_x_start, x_t_idx, t):
-        """q_posterior with x_t given as indices (one-hot) instead of log-probs."""
+    def q_posterior_indexed(self, log_x_start, x_t_idx, t, normalize: bool = True):
+        """q_posterior with x_t given as indices (one-hot) instead of log-probs.
+
+        ``normalize=False`` skips the final logsumexp: Gumbel-max and argmax
+        sampling are invariant to the per-position constant shift, so the
+        key-driven engine path drops the two full-grid passes it costs. The
+        injected-uniform parity path keeps it (the subtraction perturbs float
+        rounding, and those tests assert bit-identical grids).
+        """
         t_minus_1 = jnp.maximum(t - 1, 0)
         log_ev = self.q_pred(log_x_start, t_minus_1)
         t_broadcast = t.reshape(-1, *([1] * (log_x_start.ndim - 1)))
         log_ev = jnp.where(t_broadcast == 0, log_x_start, log_ev)
         unnormed = log_ev + self.q_pred_one_timestep_indexed(x_t_idx, t)
+        if not normalize:
+            return unnormed
         return unnormed - jax.nn.logsumexp(unnormed, axis=-1, keepdims=True)
+
+    # -- two-uniform exact draws from indexed transitions ----------------------
+    # Every indexed transition's log-prob grid holds exactly two values per
+    # position: `hot` at the current class, `cold` everywhere else. Gumbel-max
+    # over that grid keeps the current class with probability
+    # p_hot = 1 / (1 + (K-1) exp(cold - hot)) and otherwise picks uniformly
+    # among the other K-1 classes — so the draw needs TWO uniforms per
+    # position, not K. The key-driven engine path uses these (distribution-
+    # identical, ~10x fewer PRNG bits and no (…, K) grid); the injected-uniform
+    # parity path keeps the dense Gumbel (its uniforms are position-per-class).
+
+    def _sample_two_value(self, x_idx, a, b, u):
+        """u: (*x_idx.shape, 2) uniforms; a/b broadcastable to x_idx.shape."""
+        K = self.num_classes
+        cold_log = jnp.log(jnp.float32(MIN_LOG_ARG))
+        hot = log_add_exp(a, b)
+        cold = log_add_exp(cold_log + a, b)
+        p_hot = 1.0 / (1.0 + (K - 1) * jnp.exp(cold - hot))
+        other = jnp.minimum((u[..., 1] * (K - 1)).astype(jnp.int32), K - 2)
+        other = other + (other >= x_idx).astype(jnp.int32)  # skip the hot class
+        return jnp.where(u[..., 0] < p_hot, x_idx, other)
+
+    def q_pred_indexed_sample(self, x_idx, t, u):
+        """Exact draw from q(x_t | x_0 = x_idx) with 2 uniforms per position."""
+        nd = x_idx.ndim
+        a = _extract(self.log_cumprod_alpha, t, nd)
+        b = _extract(self.log_1_min_cumprod_alpha, t, nd) - self.log_num_classes
+        return self._sample_two_value(x_idx, a, b, u)
+
+    def q_pred_one_timestep_indexed_sample(self, x_idx, t, u):
+        """Exact draw from q(x_t | x_{t-1} = x_idx) with 2 uniforms per position."""
+        nd = x_idx.ndim
+        a = _extract(self.log_alpha, t, nd)
+        b = _extract(self.log_1_min_alpha, t, nd) - self.log_num_classes
+        return self._sample_two_value(x_idx, a, b, u)
+
+    def q_pred_one_timestep_scaled_indexed_sample(self, x_idx, t, c, jump_len, u):
+        """Exact draw from the kevin-scaled forward transition (2 uniforms)."""
+        nd = x_idx.ndim
+        seq_len = x_idx.shape[1]
+        a = _extract(self.log_alpha, t, nd)
+        b = _extract(self.log_1_min_alpha, t, nd)
+        xax = jnp.arange(seq_len, dtype=jnp.float32)
+        aa = seq_len * (c / jump_len)
+        sig = 1.0 / (1.0 + jnp.exp(-(xax - aa + 20.0) / 8.0))
+        shape = (1, seq_len) + (1,) * (nd - 2)
+        a = jnp.clip(jnp.log(1.0 / sig).reshape(shape) + a, max=0.0)
+        b = jnp.log(sig).reshape(shape) + b - self.log_num_classes
+        return self._sample_two_value(x_idx, a, b, u)
 
     def q_posterior(self, log_x_start, log_x_t, t):
         """log q(x_{t-1} | x_t, x_0) via Bayes, with the t=0 one-hot override."""

@@ -76,6 +76,45 @@ def nar_spk_embedding(p, cfg: ResidualTransformerConfig, c_codes, c_codes_length
     return out[:, 0]
 
 
+def nar_timestep_mlps(p, t, t_emb_dim: int, dtype):
+    """The encoder/decoder timestep MLP embeddings: t (bs,) -> two (bs, dim)."""
+    t_emb = timestep_embedding(t, t_emb_dim, dtype=dtype)
+    t_enc = linear(jax.nn.silu(linear(t_emb, p["t_enc_mlp"]["w0"], p["t_enc_mlp"]["b0"])),
+                   p["t_enc_mlp"]["w1"], p["t_enc_mlp"]["b1"])
+    t_dec = linear(jax.nn.silu(linear(t_emb, p["t_dec_mlp"]["w0"], p["t_dec_mlp"]["b0"])),
+                   p["t_dec_mlp"]["w1"], p["t_dec_mlp"]["b1"])
+    return t_enc, t_dec
+
+
+def nar_enc_inputs(p, cfg: ResidualTransformerConfig, c_text, c_texts_length, spk):
+    """Timestep-independent encoder stream: [spk] ++ text with pos-emb.
+
+    Returns (c (bs, Lt+1, dim), c_padding (bs, Lt+1)). The per-timestep encoder
+    input is ``c + t_enc[:, None]`` — the ONLY t-dependence of the whole encoder
+    stack, which is what lets the diffusion engine precompute every timestep's
+    memory in one batched forward (engine.py).
+    """
+    text_emb = p["text_embed"][c_text]
+    # The reference's per-sample unpad/concat/re-pad (model.py:319-329) is
+    # equivalent to this fixed concat because the speaker segment has length 1.
+    c = jnp.concatenate([spk[:, None].astype(text_emb.dtype), text_emb], axis=1)
+    c_lengths = c_texts_length + 1
+    c_padding = length_to_mask(c_lengths, jnp.zeros_like(c_lengths), c.shape[1])
+    c = add_sine_pe(c, p["cond_pos_alpha"])
+    return c, c_padding
+
+
+def nar_decoder_apply(p, cfg: ResidualTransformerConfig, x, x_padding_mask, t_dec,
+                      memory, c_padding):
+    """Decoder stream + stack given a precomputed encoder memory."""
+    h = chunked_embed(p["residual_encoder"], x)
+    h = add_sine_pe(h, p["pos_alpha"])
+    h = h + t_dec[:, None]
+    return decoder_stack(p["decoder"], h, memory, nhead=cfg.nhead,
+                         tgt_key_padding_mask=x_padding_mask,
+                         memory_key_padding_mask=c_padding)
+
+
 def nar_backbone(p, cfg: ResidualTransformerConfig, c_text, c_codes, c_texts_length,
                  c_codes_length, x, x_padding_mask, t, drop_cond=None, spk=None):
     """Denoiser backbone: everything up to (but excluding) the 8 output heads.
@@ -96,38 +135,18 @@ def nar_backbone(p, cfg: ResidualTransformerConfig, c_text, c_codes, c_texts_len
     Returns:
         (bs, Lx, dim) decoder output (post final LayerNorm).
     """
-    text_emb = p["text_embed"][c_text]
-
     if spk is None:
         if drop_cond is not None:
             c_codes_length = jnp.where(drop_cond, 0, c_codes_length)
             c_codes = jnp.where(drop_cond[:, None, None], cfg.n_quant - 1, c_codes)
         spk = nar_spk_embedding(p, cfg, c_codes, c_codes_length)  # (bs, dim)
 
-    t_emb = timestep_embedding(t, cfg.t_emb_dim, dtype=text_emb.dtype)
-    t_enc = linear(jax.nn.silu(linear(t_emb, p["t_enc_mlp"]["w0"], p["t_enc_mlp"]["b0"])),
-                   p["t_enc_mlp"]["w1"], p["t_enc_mlp"]["b1"])
-    t_dec = linear(jax.nn.silu(linear(t_emb, p["t_dec_mlp"]["w0"], p["t_dec_mlp"]["b0"])),
-                   p["t_dec_mlp"]["w1"], p["t_dec_mlp"]["b1"])
-
-    # encoder stream: [spk] ++ text, pos-emb after concat, + timestep embedding.
-    # The reference's per-sample unpad/concat/re-pad (model.py:319-329) is equivalent
-    # to this fixed concat because the speaker segment always has length 1.
-    c = jnp.concatenate([spk[:, None].astype(text_emb.dtype), text_emb], axis=1)
-    c_lengths = c_texts_length + 1
-    c_padding = length_to_mask(c_lengths, jnp.zeros_like(c_lengths), c.shape[1])
-    c = add_sine_pe(c, p["cond_pos_alpha"])
-    c = c + t_enc[:, None]
-
-    # decoder stream
-    h = chunked_embed(p["residual_encoder"], x)
-    h = add_sine_pe(h, p["pos_alpha"])
-    h = h + t_dec[:, None]
-
-    memory = encoder_stack(p["encoder"], c, nhead=cfg.nhead, key_padding_mask=c_padding)
-    return decoder_stack(p["decoder"], h, memory, nhead=cfg.nhead,
-                         tgt_key_padding_mask=x_padding_mask,
-                         memory_key_padding_mask=c_padding)
+    dtype = p["text_embed"].dtype
+    t_enc, t_dec = nar_timestep_mlps(p, t, cfg.t_emb_dim, dtype)
+    c, c_padding = nar_enc_inputs(p, cfg, c_text, c_texts_length, spk)
+    memory = encoder_stack(p["encoder"], c + t_enc[:, None], nhead=cfg.nhead,
+                           key_padding_mask=c_padding)
+    return nar_decoder_apply(p, cfg, x, x_padding_mask, t_dec, memory, c_padding)
 
 
 def nar_heads(p, cfg: ResidualTransformerConfig, out, lanes=None):

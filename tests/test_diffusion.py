@@ -195,3 +195,94 @@ def test_perform_simple_inference_parity(ref_diffuser, deep_clone, guidance_w, j
 
     np.testing.assert_array_equal(np.asarray(ours), ref_out,
                                   err_msg=f"deep={deep_clone} w={guidance_w} jl={jl}")
+
+
+def test_two_uniform_samplers_match_dense_distribution():
+    """The *_indexed_sample fast draws are distribution-exact vs dense Gumbel.
+
+    Checks (a) the analytic keep-probability equals the softmax of the dense
+    indexed transition grid, and (b) empirical marginals over many draws match
+    between the fast two-uniform sampler and dense Gumbel-max.
+    """
+    import jax
+    import jax.numpy as jnp
+    from mars5_tts_tpu.diffusion import MultinomialDiffusion
+
+    K, T = 17, 50
+    diff = MultinomialDiffusion(K, timesteps=T)
+    x_idx = jnp.asarray([[3, 11]], jnp.int32)          # (1, 2)
+    for t_val in [1, 10, 25, 49]:
+        t = jnp.asarray([t_val], jnp.int32)
+        dense = np.asarray(jax.nn.softmax(diff.q_pred_indexed(x_idx, t), -1))
+        hot_p = dense[0, 0, int(x_idx[0, 0])]
+        # analytic p_hot from the two-value structure
+        a = float(diff.log_cumprod_alpha[t_val])
+        b = float(diff.log_1_min_cumprod_alpha[t_val]) - diff.log_num_classes
+        import math
+        hot = np.logaddexp(a, b)
+        cold = np.logaddexp(math.log(1e-7) + a, b)
+        p_hot = 1.0 / (1.0 + (K - 1) * math.exp(cold - hot))
+        np.testing.assert_allclose(p_hot, hot_p, rtol=1e-5)
+        # cold classes uniform
+        others = np.delete(dense[0, 0], int(x_idx[0, 0]))
+        np.testing.assert_allclose(others, (1 - hot_p) / (K - 1), rtol=2e-3)
+
+    # empirical marginals: fast sampler vs dense Gumbel, N draws each
+    N = 40_000
+    t = jnp.asarray([25], jnp.int32)
+    key = jax.random.PRNGKey(0)
+    u2 = jax.random.uniform(key, (N, 1, 2, 2))
+    xs = jnp.broadcast_to(x_idx, (N, 2))
+    fast = np.asarray(jax.vmap(
+        lambda u: diff.q_pred_indexed_sample(x_idx, t, u))(u2))[:, 0]
+    ug = jax.random.uniform(jax.random.fold_in(key, 1), (N, 1, 2, K))
+    from mars5_tts_tpu.ops.sampling import gumbel_argmax
+    dense_draw = np.asarray(jax.vmap(
+        lambda u: gumbel_argmax(diff.q_pred_indexed(x_idx, t), u))(ug))[:, 0]
+    for col in range(2):
+        f_hot = (fast[:, col] == int(x_idx[0, col])).mean()
+        d_hot = (dense_draw[:, col] == int(x_idx[0, col])).mean()
+        np.testing.assert_allclose(f_hot, d_hot, atol=0.01)
+        # non-hot draws cover the other classes roughly uniformly
+        f_others = np.bincount(fast[:, col], minlength=K).astype(float)
+        f_others[int(x_idx[0, col])] = 0
+        if f_others.sum() > 0:
+            f_others /= f_others.sum()
+            np.testing.assert_allclose(f_others[f_others > 0], 1 / (K - 1),
+                                       rtol=0.35)
+
+
+def test_scaled_two_uniform_sampler_matches_dense():
+    """Kevin-scaled fast draw: analytic keep-prob == dense grid softmax."""
+    import jax
+    import jax.numpy as jnp
+    from mars5_tts_tpu.diffusion import MultinomialDiffusion
+
+    K, T, L = 13, 40, 30
+    diff = MultinomialDiffusion(K, timesteps=T)
+    rng = np.random.default_rng(0)
+    x_idx = jnp.asarray(rng.integers(0, K, (1, L, 2)), jnp.int32)
+    t = jnp.asarray([17], jnp.int32)
+    c, jl = 2.5, 10
+    dense = np.asarray(jax.nn.softmax(
+        diff.q_pred_one_timestep_scaled_indexed(x_idx, t, c, jl), -1))
+    # fast sampler with u[...,0]=0 always keeps; with u[...,0]=1 never keeps
+    u_keep = jnp.zeros((1, L, 2, 2)).at[..., 1].set(0.5)
+    kept = np.asarray(diff.q_pred_one_timestep_scaled_indexed_sample(
+        x_idx, t, c, jl, u_keep))
+    np.testing.assert_array_equal(kept, np.asarray(x_idx))
+    # threshold equivalence: P(keep) from dense == p_hot used by the sampler
+    # (probe with u0 just below/above the dense hot probability)
+    hot_dense = np.take_along_axis(dense, np.asarray(x_idx)[..., None],
+                                   -1)[..., 0]
+    eps = 1e-4
+    u_lo = jnp.zeros((1, L, 2, 2)).at[..., 0].set(
+        jnp.asarray(hot_dense - eps)).at[..., 1].set(0.5)
+    u_hi = jnp.zeros((1, L, 2, 2)).at[..., 0].set(
+        jnp.asarray(hot_dense + eps)).at[..., 1].set(0.5)
+    lo = np.asarray(diff.q_pred_one_timestep_scaled_indexed_sample(
+        x_idx, t, c, jl, u_lo))
+    hi = np.asarray(diff.q_pred_one_timestep_scaled_indexed_sample(
+        x_idx, t, c, jl, u_hi))
+    assert (lo == np.asarray(x_idx)).all()      # just below p_hot -> keep
+    assert (hi != np.asarray(x_idx)).all()      # just above p_hot -> resample
