@@ -192,7 +192,8 @@ def init_codeclm(key, cfg: CodecLMConfig, dtype=jnp.float32):
     def enc_layer(k):
         ks = jax.random.split(k, 6)
         return {
-            "sa_in_w": dense(ks[0], 3 * d, d), "sa_in_b": jnp.zeros((3 * d,), dtype),
+            "sa_in_w": dense(ks[0], 3 * d, d).reshape(3, d, d),
+            "sa_in_b": jnp.zeros((3, d), dtype),
             "sa_out_w": dense(ks[1], d, d), "sa_out_b": jnp.zeros((d,), dtype),
             "WV": jnp.concatenate([dense(ks[2], cfg.spk_hidden_dim, d),
                                    dense(ks[3], cfg.spk_hidden_dim, d)], axis=0),

@@ -96,11 +96,18 @@ def _stack(sd, fmt, n, **kw):
     return np.stack([_np(sd[fmt.format(i=i, **kw)]) for i in range(n)])
 
 
+def _reshape3(w):
+    """(3D, ...) fused in_proj weight/bias -> (3, D, ...)."""
+    return w.reshape(3, w.shape[0] // 3, *w.shape[1:])
+
+
 def _enc_layer(sd, prefix):
     """One torch TransformerEncoderLayer (SwiGLU-patched) -> our layer dict."""
     return {
-        "sa_in_w": _np(sd[f"{prefix}.self_attn.in_proj_weight"]),
-        "sa_in_b": _np(sd[f"{prefix}.self_attn.in_proj_bias"]),
+        # fused (3D, D) in_proj -> (3, D, D): q/k/v thirds on a stack axis
+        # (same element order; lets TP shard the head axis — see torch_mha)
+        "sa_in_w": _reshape3(_np(sd[f"{prefix}.self_attn.in_proj_weight"])),
+        "sa_in_b": _reshape3(_np(sd[f"{prefix}.self_attn.in_proj_bias"])),
         "sa_out_w": _np(sd[f"{prefix}.self_attn.out_proj.weight"]),
         "sa_out_b": _np(sd[f"{prefix}.self_attn.out_proj.bias"]),
         "WV": np.concatenate([_np(sd[f"{prefix}.activation.W.weight"]),
@@ -117,8 +124,8 @@ def _enc_layer(sd, prefix):
 def _dec_layer(sd, prefix):
     layer = _enc_layer(sd, prefix)
     layer.update({
-        "ca_in_w": _np(sd[f"{prefix}.multihead_attn.in_proj_weight"]),
-        "ca_in_b": _np(sd[f"{prefix}.multihead_attn.in_proj_bias"]),
+        "ca_in_w": _reshape3(_np(sd[f"{prefix}.multihead_attn.in_proj_weight"])),
+        "ca_in_b": _reshape3(_np(sd[f"{prefix}.multihead_attn.in_proj_bias"])),
         "ca_out_w": _np(sd[f"{prefix}.multihead_attn.out_proj.weight"]),
         "ca_out_b": _np(sd[f"{prefix}.multihead_attn.out_proj.bias"]),
         "norm3_w": _np(sd[f"{prefix}.norm3.weight"]),
@@ -224,10 +231,15 @@ def _np_leaf(x):
     return np.asarray(x)
 
 
+def _flat3(w):
+    """(3, D, ...) stacked in_proj -> torch's fused (3D, ...)."""
+    return w.reshape(3 * w.shape[1], *w.shape[2:])
+
+
 def _unstack_enc_layer(layers, i, prefix, out):
     g = lambda k: _np_leaf(layers[k][i])
-    out[f"{prefix}.self_attn.in_proj_weight"] = g("sa_in_w")
-    out[f"{prefix}.self_attn.in_proj_bias"] = g("sa_in_b")
+    out[f"{prefix}.self_attn.in_proj_weight"] = _flat3(g("sa_in_w"))
+    out[f"{prefix}.self_attn.in_proj_bias"] = _flat3(g("sa_in_b"))
     out[f"{prefix}.self_attn.out_proj.weight"] = g("sa_out_w")
     out[f"{prefix}.self_attn.out_proj.bias"] = g("sa_out_b")
     wv = g("WV")
@@ -240,8 +252,8 @@ def _unstack_enc_layer(layers, i, prefix, out):
     out[f"{prefix}.norm2.weight"] = g("norm2_w")
     out[f"{prefix}.norm2.bias"] = g("norm2_b")
     if "ca_in_w" in layers:
-        out[f"{prefix}.multihead_attn.in_proj_weight"] = g("ca_in_w")
-        out[f"{prefix}.multihead_attn.in_proj_bias"] = g("ca_in_b")
+        out[f"{prefix}.multihead_attn.in_proj_weight"] = _flat3(g("ca_in_w"))
+        out[f"{prefix}.multihead_attn.in_proj_bias"] = _flat3(g("ca_in_b"))
         out[f"{prefix}.multihead_attn.out_proj.weight"] = g("ca_out_w")
         out[f"{prefix}.multihead_attn.out_proj.bias"] = g("ca_out_b")
         out[f"{prefix}.norm3.weight"] = g("norm3_w")

@@ -27,43 +27,76 @@ from ..ops.norms import layer_norm
 
 LAYERNORM_EPS = 4e-5
 
+# below this many rows the fused Pallas LN/SwiGLU→quant epilogues lose to XLA's
+# fusions on launch overhead (the 61-token encoder stream stays on XLA)
+_FUSED_QUANT_MIN_ROWS = 1024
+
+
+def _use_fused_quant(wdict, x):
+    from ..ops.quant import is_quantized
+    if not (is_quantized(wdict) and "a8" in wdict):
+        return False
+    if x.shape[0] * x.shape[1] < _FUSED_QUANT_MIN_ROWS:
+        return False
+    from ..ops.pallas import enabled
+    return enabled()
+
+
+def _norm_quant(x, nw, nb, wdict):
+    """LayerNorm, fused with int8 act-quant when the consumer is W8A8 on TPU.
+
+    Returns either a normed bf16 tensor or a pre-quantized (xq, xs, dtype)
+    tuple — both accepted by ops/quant.linear_any / torch_mha.
+    """
+    if _use_fused_quant(wdict, x):
+        from ..ops.pallas.fused_quant import ln_quant
+        xq, xs = ln_quant(x, nw, nb, LAYERNORM_EPS)
+        return (xq, xs, x.dtype)
+    return layer_norm(x, nw, nb, LAYERNORM_EPS)
+
 
 def swiglu_ff(p, x):
     """linear2(silu(x·Wᵀ) * x·Vᵀ) — the monkeypatched torch FFN block.
 
     W and V are stored fused as ``WV`` (2F, D): one matmul then split (output
     rows are independent, so this is bitwise-identical to two dots and halves
-    the latency-bound matmul count). Kernels may be int8 dicts (ops/quant.py).
+    the latency-bound matmul count). Kernels may be int8 dicts (ops/quant.py);
+    on the TPU W8A8 path the silu·mul + act-quant chain runs as one fused
+    Pallas pass (ops/pallas/fused_quant.silu_mul_quant).
     """
     from ..ops.quant import linear_any
     wv = linear_any(x, p["WV"])
+    if _use_fused_quant(p["lin2_w"], wv):
+        from ..ops.pallas.fused_quant import silu_mul_quant
+        uq, us = silu_mul_quant(wv)
+        return linear_any((uq, us, wv.dtype), p["lin2_w"], p["lin2_b"])
     w_out, v_out = jnp.split(wv, 2, axis=-1)
     return linear_any(jax.nn.silu(w_out) * v_out, p["lin2_w"], p["lin2_b"])
 
 
 def encoder_layer(p, x, nhead: int, key_padding_mask=None):
-    h = layer_norm(x, p["norm1_w"], p["norm1_b"], LAYERNORM_EPS)
+    h = _norm_quant(x, p["norm1_w"], p["norm1_b"], p["sa_in_w"])
     x = x + torch_mha(
         {"in_proj_w": p["sa_in_w"], "in_proj_b": p["sa_in_b"],
          "out_w": p["sa_out_w"], "out_b": p["sa_out_b"]},
         h, h, nhead, key_padding_mask)
-    h = layer_norm(x, p["norm2_w"], p["norm2_b"], LAYERNORM_EPS)
+    h = _norm_quant(x, p["norm2_w"], p["norm2_b"], p["WV"])
     return x + swiglu_ff(p, h)
 
 
 def decoder_layer(p, x, memory, nhead: int, tgt_key_padding_mask=None,
                   memory_key_padding_mask=None):
-    h = layer_norm(x, p["norm1_w"], p["norm1_b"], LAYERNORM_EPS)
+    h = _norm_quant(x, p["norm1_w"], p["norm1_b"], p["sa_in_w"])
     x = x + torch_mha(
         {"in_proj_w": p["sa_in_w"], "in_proj_b": p["sa_in_b"],
          "out_w": p["sa_out_w"], "out_b": p["sa_out_b"]},
         h, h, nhead, tgt_key_padding_mask)
-    h = layer_norm(x, p["norm2_w"], p["norm2_b"], LAYERNORM_EPS)
+    h = _norm_quant(x, p["norm2_w"], p["norm2_b"], p["ca_in_w"])
     x = x + torch_mha(
         {"in_proj_w": p["ca_in_w"], "in_proj_b": p["ca_in_b"],
          "out_w": p["ca_out_w"], "out_b": p["ca_out_b"]},
         h, memory, nhead, memory_key_padding_mask)
-    h = layer_norm(x, p["norm3_w"], p["norm3_b"], LAYERNORM_EPS)
+    h = _norm_quant(x, p["norm3_w"], p["norm3_b"], p["WV"])
     return x + swiglu_ff(p, h)
 
 

@@ -201,7 +201,8 @@ def init_nar(key, cfg: ResidualTransformerConfig, dtype=jnp.float32):
 
     def enc_layer():
         return {
-            "sa_in_w": dense(3 * d, d), "sa_in_b": jnp.zeros((3 * d,), dtype),
+            "sa_in_w": dense(3 * d, d).reshape(3, d, d),
+            "sa_in_b": jnp.zeros((3, d), dtype),
             "sa_out_w": dense(d, d), "sa_out_b": jnp.zeros((d,), dtype),
             "WV": jnp.concatenate([dense(f, d), dense(f, d)], axis=0),
             "lin2_w": dense(d, f), "lin2_b": jnp.zeros((d,), dtype),
@@ -212,7 +213,8 @@ def init_nar(key, cfg: ResidualTransformerConfig, dtype=jnp.float32):
     def dec_layer():
         layer = enc_layer()
         layer.update({
-            "ca_in_w": dense(3 * d, d), "ca_in_b": jnp.zeros((3 * d,), dtype),
+            "ca_in_w": dense(3 * d, d).reshape(3, d, d),
+            "ca_in_b": jnp.zeros((3, d), dtype),
             "ca_out_w": dense(d, d), "ca_out_b": jnp.zeros((d,), dtype),
             "norm3_w": jnp.ones((d,), dtype), "norm3_b": jnp.zeros((d,), dtype),
         })

@@ -18,10 +18,14 @@ NEG_INF = float("-inf")
 
 
 def linear(x, w, b=None):
-    """y = x @ w.T (+ b), with w in torch (out, in) layout."""
+    """y = x @ w.T (+ b), with w in torch (out, in) layout.
+
+    Stacked kernels (e.g. the (3, D, D) fused attention in_proj) contract the
+    last axis and keep the leading stack axes on the output: (..., 3, D).
+    """
     y = jax.lax.dot_general(
         x, w,
-        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        dimension_numbers=(((x.ndim - 1,), (w.ndim - 1,)), ((), ())),
         preferred_element_type=x.dtype if x.dtype == jnp.float32 else jnp.float32,
     ).astype(x.dtype)
     if b is not None:
@@ -61,7 +65,10 @@ def torch_mha(p, q_in, kv_in, nhead: int, key_padding_mask=None):
     """torch ``nn.MultiheadAttention`` forward (batch_first, self- or cross-attention).
 
     Args:
-        p: dict with ``in_proj_w`` (3D, D), ``in_proj_b`` (3D,), ``out_w`` (D, D),
+        p: dict with ``in_proj_w`` (3, D, D) — torch's fused (3D, D) in_proj
+           reshaped so the q/k/v thirds sit on a leading stack axis (the output
+           D axis is then head-shardable with a plain PartitionSpec, see
+           parallel/sharding.py) — ``in_proj_b`` (3, D), ``out_w`` (D, D),
            ``out_b`` (D,).
         q_in: (B, Lq, D) queries; kv_in: (B, Lk, D) keys/values source.
         key_padding_mask: optional (B, Lk) bool, True = IGNORE (torch convention).
@@ -72,23 +79,26 @@ def torch_mha(p, q_in, kv_in, nhead: int, key_padding_mask=None):
     """
     from .quant import linear_any, slice_rows
 
-    d = q_in.shape[-1]
-    b, lq = q_in.shape[:2]
-    lk = kv_in.shape[1]
-    # One fused in_proj matmul for self-attention (output rows are independent,
-    # so splitting after is bitwise-identical to three separate dots); for
-    # cross-attention, a q dot + one fused kv dot. Matmul count matters: TPU
-    # op cost at these shapes is latency-bound, not FLOP-bound.
+    # q_in/kv_in may be pre-quantized (xq, xs, dtype) tuples from the fused
+    # LN→quant epilogue (ops/pallas/fused_quant.py) — shapes come from xq
+    q_shape = q_in[0].shape if isinstance(q_in, tuple) else q_in.shape
+    kv_shape = kv_in[0].shape if isinstance(kv_in, tuple) else kv_in.shape
+    d = q_shape[-1]
+    b, lq = q_shape[:2]
+    lk = kv_shape[1]
+    # One fused in_proj matmul for self-attention (XLA flattens the (3, D)
+    # output axes into one GEMM, so this is bitwise-identical to the flat
+    # (3D, D) kernel); for cross-attention, a q dot + one fused kv dot. Matmul
+    # count matters: TPU op cost at these shapes is latency-bound.
     # Kernels may be int8 {"q","s"} dicts (weight-only or W8A8, ops/quant.py).
     if q_in is kv_in:
-        qkv = linear_any(q_in, p["in_proj_w"], p["in_proj_b"])
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        qkv = linear_any(q_in, p["in_proj_w"], p["in_proj_b"])  # (B, L, 3, D)
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
     else:
-        q = linear_any(q_in, slice_rows(p["in_proj_w"], slice(None, d)),
-                       p["in_proj_b"][:d])
-        kv = linear_any(kv_in, slice_rows(p["in_proj_w"], slice(d, None)),
-                        p["in_proj_b"][d:])
-        k, v = jnp.split(kv, 2, axis=-1)
+        q = linear_any(q_in, slice_rows(p["in_proj_w"], 0), p["in_proj_b"][0])
+        kv = linear_any(kv_in, slice_rows(p["in_proj_w"], slice(1, None)),
+                        p["in_proj_b"][1:])                     # (B, Lk, 2, D)
+        k, v = kv[..., 0, :], kv[..., 1, :]
     q = q.reshape(b, lq, nhead, d // nhead)
     k = k.reshape(b, lk, nhead, d // nhead)
     v = v.reshape(b, lk, nhead, d // nhead)
@@ -96,8 +106,12 @@ def torch_mha(p, q_in, kv_in, nhead: int, key_padding_mask=None):
     if lq == lk and lq >= _PALLAS_SELF_ATTN_MIN_LEN:
         from .pallas import enabled as _pallas_enabled
         if _pallas_enabled():
+            from .quant import is_quantized
             from .pallas.mha import sdpa_pallas
-            out = sdpa_pallas(q, k, v, key_padding_mask)
+            # int8-weight layers also run the attention dots int8 (QK^T / PV
+            # at 2x the MXU rate; softmax stays f32 — see mha._mha_kernel)
+            out = sdpa_pallas(q, k, v, key_padding_mask,
+                              quantized=is_quantized(p["in_proj_w"]))
             return linear_any(out.reshape(b, lq, d), p["out_w"], p["out_b"])
 
     mask = None

@@ -35,12 +35,25 @@ from jax.experimental import pallas as pl
 
 
 
+def _quant_rows_f32(xf):
+    """(R, C) f32 -> per-row symmetric int8 + f32 scale (R, 1)."""
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) / 127.0
+    return jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8), xs
+
+
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_blk: int, lk: int,
-                scale: float, bias_ref=None):
+                scale: float, bias_ref=None, quantized: bool = False):
     """Blocks: q/o (1, BQ, hpb*D); k/v (1, Lkp, hpb*D); bias (1, 8, Lkp).
 
     The lane axis carries ``heads_per_blk`` heads (chosen so hpb*D is a
     128-lane multiple); each head is a static 64-lane sub-slice.
+
+    ``quantized``: int8 QK^T and PV dots (2x the MXU rate; the score/prob VPU
+    math stays f32). q/k quantize per-row — the score is then exactly
+    int32 * qs_i * ks_j — v per-output-channel, and the unnormalized exp
+    weights map to int8 losslessly at fixed scale 127 (p in (0, 1]). Used by
+    the W8A8 NAR path; divergence characterized in tests/test_quant.py.
     """
     hd = q_ref.shape[-1]
     d = hd // heads_per_blk
@@ -49,8 +62,15 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_blk: int, lk: int,
         sl = slice(hi * d, (hi + 1) * d)
         q = q_ref[0, :, sl]                        # (BQ, D)
         k = k_ref[0, :, sl]                        # (Lkp, D)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+        if quantized:
+            q8, qs = _quant_rows_f32(q.astype(jnp.float32))
+            k8, ks = _quant_rows_f32(k.astype(jnp.float32))
+            si = jax.lax.dot_general(q8, k8, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+            s = si.astype(jnp.float32) * (qs * scale) * ks.reshape(1, lkp)
+        else:
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
         if bias_ref is not None:
             s = s + bias_ref[0, 0:1, :]
         if lkp != lk:
@@ -59,24 +79,38 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_blk: int, lk: int,
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         r = jnp.sum(p, axis=1, keepdims=True)      # (BQ, 1)
-        o = jax.lax.dot_general(p.astype(q.dtype), v_ref[0, :, sl],
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        if quantized:
+            vf = v_ref[0, :, sl].astype(jnp.float32)
+            va = jnp.max(jnp.abs(vf), axis=0, keepdims=True)   # (1, D)
+            vs = jnp.maximum(va, 1e-8) / 127.0
+            v8 = jnp.clip(jnp.round(vf / vs), -127, 127).astype(jnp.int8)
+            p8 = jnp.round(p * 127.0).astype(jnp.int8)         # p <= 1 exactly
+            oi = jax.lax.dot_general(p8, v8, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+            o = oi.astype(jnp.float32) * (vs / 127.0)
+        else:
+            o = jax.lax.dot_general(p.astype(q.dtype), v_ref[0, :, sl],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
         o_ref[0, :, sl] = (o / r).astype(o_ref.dtype)
 
 
-def _kernel_nobias(q_ref, k_ref, v_ref, o_ref, *, heads_per_blk, lk, scale):
+def _kernel_nobias(q_ref, k_ref, v_ref, o_ref, *, heads_per_blk, lk, scale,
+                   quantized=False):
     _mha_kernel(q_ref, k_ref, v_ref, o_ref, heads_per_blk=heads_per_blk,
-                lk=lk, scale=scale)
+                lk=lk, scale=scale, quantized=quantized)
 
 
-def _kernel_bias(q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads_per_blk, lk, scale):
+def _kernel_bias(q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads_per_blk, lk,
+                 scale, quantized=False):
     _mha_kernel(q_ref, k_ref, v_ref, o_ref, heads_per_blk=heads_per_blk,
-                lk=lk, scale=scale, bias_ref=bias_ref)
+                lk=lk, scale=scale, bias_ref=bias_ref, quantized=quantized)
 
 
-@functools.partial(jax.jit, static_argnames=("nhead", "lk", "blk_q", "interpret"))
-def _call(q, k, v, bias, nhead: int, lk: int, blk_q: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("nhead", "lk", "blk_q", "interpret",
+                                             "quantized"))
+def _call(q, k, v, bias, nhead: int, lk: int, blk_q: int, interpret: bool,
+          quantized: bool = False):
     b, lqp, hd = q.shape
     lkp = k.shape[1]
     d = hd // nhead
@@ -97,10 +131,10 @@ def _call(q, k, v, bias, nhead: int, lk: int, blk_q: int, interpret: bool):
     args = [q, k, v]
     if bias is None:
         kernel = functools.partial(_kernel_nobias, heads_per_blk=hpb, lk=lk,
-                                   scale=scale)
+                                   scale=scale, quantized=quantized)
     else:
         kernel = functools.partial(_kernel_bias, heads_per_blk=hpb, lk=lk,
-                                   scale=scale)
+                                   scale=scale, quantized=quantized)
         in_specs.append(pl.BlockSpec((1, 8, lkp), lambda bi, hi, qi: (bi, 0, 0)))
         args.append(bias)
     return pl.pallas_call(
@@ -113,12 +147,14 @@ def _call(q, k, v, bias, nhead: int, lk: int, blk_q: int, interpret: bool):
     )(*args)
 
 
-def sdpa_pallas(q, k, v, key_padding_mask=None, interpret: bool = False):
+def sdpa_pallas(q, k, v, key_padding_mask=None, interpret: bool = False,
+                quantized: bool = False):
     """Drop-in for ops.attention.sdpa on bidirectional self-attention.
 
     Args:
         q/k/v: (B, L, H, D) with Lq == Lk.
         key_padding_mask: optional (B, L) bool, True = IGNORE (torch convention).
+        quantized: run the QK^T/PV dots int8 (see _mha_kernel).
     Returns:
         (B, L, H, D) in q.dtype.
     """
@@ -146,5 +182,6 @@ def sdpa_pallas(q, k, v, key_padding_mask=None, interpret: bool = False):
         bias = jnp.where(mask, -jnp.inf, 0.0).astype(jnp.float32)
         bias = jnp.broadcast_to(bias[:, None, :], (b, 8, lkp))
 
-    out = _call(q2, k2, v2, bias, nhead=h, lk=l, blk_q=blk_q, interpret=interpret)
+    out = _call(q2, k2, v2, bias, nhead=h, lk=l, blk_q=blk_q,
+                interpret=interpret, quantized=quantized)
     return out[:, :l].reshape(b, l, h, d)

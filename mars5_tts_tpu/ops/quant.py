@@ -64,6 +64,9 @@ def linear_w8a8(x, q, scale, b=None):
     the standard serving recipe); accumulation is int32, rescale fp32.
     """
     xq, xs = quantize_act(x)
+    # stacked kernels (e.g. the (3, D, D) attention in_proj) add extra output
+    # axes; align the per-row activation scale with them
+    xs = xs.reshape(xs.shape[:-1] + (1,) * (q.ndim - 1))
     y = jax.lax.dot_general(
         xq, q,
         dimension_numbers=(((x.ndim - 1,), (q.ndim - 1,)), ((), ())),
@@ -134,7 +137,12 @@ def linear_w8a8_t(x, qt, scale, b=None):
 
 
 def slice_rows(w, sl):
-    """Row-slice a kernel (quantized dict or plain array) along the out axis."""
+    """Slice a kernel (quantized dict or plain array) along its leading axis.
+
+    For flat (out, in) kernels that is the output-row axis; for stacked kernels
+    like the (3, D, D) attention in_proj it is the stack axis (``sl`` may be an
+    int index or a slice).
+    """
     if is_quantized(w):
         if "qt" in w:
             return {"qt": w["qt"][..., sl], "s": w["s"][sl]}
@@ -195,12 +203,36 @@ def index_quant(w, i):
     return w[i]
 
 
+def linear_w8a8_pre(xq, xs, q, scale, b=None, out_dtype=jnp.bfloat16):
+    """W8A8 dot with PRE-quantized activations (from a fused Pallas epilogue).
+
+    xq: (..., in) int8; xs: (..., 1) f32 per-row scales.
+    """
+    xs = xs.reshape(xs.shape[:-1] + (1,) * (q.ndim - 1))
+    y = jax.lax.dot_general(
+        xq, q,
+        dimension_numbers=(((xq.ndim - 1,), (q.ndim - 1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (xs * scale.astype(jnp.float32))
+    if b is not None:
+        y = y + b
+    return y.astype(out_dtype)
+
+
 def linear_any(x, w, b=None):
     """linear() that accepts a plain kernel or an int8 dict.
 
     Dict layouts: {"q" (out,in), "s"} weight-only; +"a8" key = W8A8 (XLA);
     {"qt" (in,out), "s"} = W8A8 through the fused Pallas GEMM.
+
+    ``x`` may be a pre-quantized ``(xq int8, xs f32 (...,1), out_dtype)`` tuple
+    produced by the fused LN/SwiGLU→quant Pallas epilogues
+    (ops/pallas/fused_quant.py); requires a W8A8 ("a8") kernel dict.
     """
+    if isinstance(x, tuple):
+        xq, xs, od = x
+        assert is_quantized(w) and "a8" in w, "pre-quantized input needs a W8A8 kernel"
+        return linear_w8a8_pre(xq, xs, w["q"], w["s"], b, out_dtype=od)
     if is_quantized(w):
         if "qt" in w:
             return linear_w8a8_t(x, w["qt"], w["s"], b)

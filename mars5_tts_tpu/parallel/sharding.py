@@ -12,10 +12,12 @@ which always stays unsharded so ``lax.scan`` slices locally):
 * output head (V, D): shard vocab when divisible,
 * norms/embeddings: replicated.
 
-For the NAR's torch-layout layers the fused in_proj (3D, D) concatenates q/k/v,
-so head-aligned sharding of the fused kernel is only valid when tp divides D
-per-third; round-1 keeps attention replicated and shards the SwiGLU FFN
-(W/V column, linear2 row) — the FFN is ~2/3 of the FLOPs.
+The NAR's torch-layout layers store the fused in_proj as (3, D, D) — q/k/v
+thirds on a stack axis (ops/attention.torch_mha) — so attention shards
+head-aligned with a plain spec: in_proj column-parallel on the per-third
+output D axis, out_proj row-parallel (XLA inserts the psum). Head alignment
+holds whenever tp divides n_heads (16 for MARS5, so tp in {2,4,8,16}); the
+SwiGLU FFN shards W/V column, linear2 row as before.
 
 Every rule degrades to replication when the dimension is not divisible by the
 tp size (checked against real shapes), so any model size runs on any mesh.
@@ -78,6 +80,13 @@ def _enc_layer_specs(layer, tp_size: int):
     specs = {k: P(*([None] * v.ndim)) for k, v in layer.items()}
     specs["WV"] = m(P(None, "tp", None), layer["WV"])
     specs["lin2_w"] = m(P(None, None, "tp"), layer["lin2_w"])
+    # attention: in_proj (L, 3, D, D) column-parallel on the per-third output
+    # D axis (head-aligned whenever tp | n_heads), out_proj row-parallel
+    for io, oo in (("sa_in", "sa_out"), ("ca_in", "ca_out")):
+        if f"{io}_w" in layer:
+            specs[f"{io}_w"] = m(P(None, None, "tp", None), layer[f"{io}_w"])
+            specs[f"{io}_b"] = m(P(None, None, "tp"), layer[f"{io}_b"])
+            specs[f"{oo}_w"] = m(P(None, None, "tp"), layer[f"{oo}_w"])
     return specs
 
 

@@ -1,10 +1,17 @@
-"""Latency across quality modes: DDPM step count x AR precision.
+"""Latency AND quality-proxy across serving modes: AR precision x DDPM steps.
 
 The reference pins T=200 (and silently ignores its own ``timesteps`` knob); this
-framework honors it, making T the primary quality-latency dial for serving. This
-script measures the 10 s deep-clone RTF at T in {200, 100, 50} with bf16 and
-int8 AR weights. T=200/bf16 is the parity configuration; reduced-T modes trade
-refinement steps for latency (quality characterization needs real weights).
+framework honors it, making T the primary quality-latency dial for serving, and
+adds weight precision (bf16 / fused int8 / fused int4 AR, W8A8 NAR) as a second
+dial.
+
+Quality evidence (VERDICT r1 #9): every mode is scored against the parity
+configuration (bf16 AR + bf16 NAR + T=200) with SHARED randomness — the AR
+modes consume one injected uniform stream, the NAR modes one PRNG key — and the
+JSON reports token/grid agreement fractions next to each RTF. With random bench
+weights these are divergence proxies (real-weight WER needs released
+checkpoints, blocked by zero egress); the tiny-model divergence gates live in
+tests/test_quant.py.
 
 Prints one JSON line.
 """
@@ -16,6 +23,9 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+os.environ.setdefault("BENCH_AR", "bf16")   # build() leaves params unquantized;
+os.environ.setdefault("BENCH_NAR", "bf16")  # this script quantizes explicitly
 
 import numpy as np
 
@@ -35,13 +45,14 @@ def main():
     from mars5_tts_tpu.config import DSH
     from mars5_tts_tpu.diffusion import MultinomialDiffusion, perform_simple_inference
     from mars5_tts_tpu.models.ar_decode import ArSampling, ar_generate
+    from mars5_tts_tpu.models.ar_decode_fused import ar_generate_fused, prepare_fused
     from mars5_tts_tpu.models.encodec import encodec_encode
-    from mars5_tts_tpu.ops.quant import quantize_codeclm
+    from mars5_tts_tpu.ops.quant import quantize_nar
 
     cfgs, params = bench.build()
     ar_cfg, nar_cfg, enc_cfg, voc_cfg = cfgs
-    ar, nar, enc, voc = params
-    ar_int8 = quantize_codeclm(ar)
+    ar, nar, enc, voc, _ = params
+    nar_int8 = quantize_nar(nar)
     rng = np.random.default_rng(0)
 
     ref_audio = (rng.standard_normal(int(6 * 24000)) * 0.1).astype(np.float32)
@@ -58,43 +69,73 @@ def main():
                           penalty_window=80, eos_penalty_decay=0.5,
                           eos_penalty_factor=1.0, n_phones_gen=10_000, eos_idx=0,
                           valid_start=n_text, valid_end=24_001, max_len=max_len)
+    # one shared uniform stream -> AR modes are comparable token-for-token
+    ar_uniforms = np.random.default_rng(7).random((max_len, 1)).astype(np.float32)
 
-    def ar_stage(p):
+    fused = {w: prepare_fused(ar, ar_cfg, max_len=max_len, wbits=w) for w in (8, 4)}
+
+    def ar_stage(mode):
         t0 = time.perf_counter()
-        tokens, _ = ar_generate(p, ar_cfg, prompt, prompt_codec[0].T,
-                                sampling=sampling, seed=1)
-        return time.perf_counter() - t0, tokens
+        if mode == "bf16":
+            tokens, _ = ar_generate(ar, ar_cfg, prompt, prompt_codec[0].T,
+                                    sampling=sampling, uniforms=ar_uniforms)
+        else:
+            fp, dims = fused[int(mode[5:])]  # "fused8" | "fused4"
+            tokens, _ = ar_generate_fused(ar, fp, ar_cfg, dims, prompt,
+                                          prompt_codec[0].T, sampling=sampling,
+                                          uniforms=ar_uniforms, interpret=None)
+        return time.perf_counter() - t0, np.asarray(tokens)
 
-    def nar_stage(l0, T):
+    def nar_stage(nar_p, l0, T):
         diff = MultinomialDiffusion(1025, timesteps=T)
         dsh = DSH(last_greedy=True, x_0_temp=0.7, guidance_w=3.0, deep_clone=True,
                   q0_override_steps=min(20, T // 10),
                   enable_kevin_scaled_inference=True)
         _x = np.repeat(l0[None, :, None], 8, axis=2)
         t0 = time.perf_counter()
-        grid = perform_simple_inference(
-            nar, nar_cfg,
-            (rng.integers(0, n_text, (1, text_len)), prompt_codec.transpose(0, 2, 1),
+        grid = np.asarray(perform_simple_inference(
+            nar_p, nar_cfg,
+            (base_text, prompt_codec.transpose(0, 2, 1),
              np.asarray([text_len]), np.asarray([n_prompt]), _x,
              np.zeros((1, gen_frames), bool)),
-            diff, T, dsh, key=jax.random.key(1, impl="rbg"))
-        grid = np.asarray(grid)
-        return time.perf_counter() - t0
+            diff, T, dsh, key=jax.random.key(1, impl="rbg")))
+        return time.perf_counter() - t0, grid
 
-    results = {}
-    for name, p in [("bf16", ar), ("int8", ar_int8)]:
-        # warm + measure AR
-        ar_stage(p)
-        t_ar, tokens = ar_stage(p)
-        l0 = (tokens[len(prompt):] - n_text).clip(0, 1023)
-        for T in (200, 100, 50):
-            nar_stage(l0, T)  # warm/compile
-            t_nar = nar_stage(l0, T)
-            rtf = (t_ar + t_nar + 0.2) / AUDIO_SECONDS  # +0.2 codec stages
-            results[f"{name}_T{T}"] = round(rtf, 3)
+    base_text = rng.integers(0, n_text, (1, text_len))
+
+    # --- AR modes: latency + token agreement vs bf16 (shared uniforms) ------
+    ar_out = {}
+    for mode in ("bf16", "fused8", "fused4"):
+        ar_stage(mode)                       # warm/compile
+        t_ar, tokens = ar_stage(mode)
+        ar_out[mode] = (t_ar, tokens)
+    ref_tokens = ar_out["bf16"][1][len(prompt):]
+
+    # --- NAR modes: latency + grid agreement vs bf16/T=200 (shared key) ----
+    l0 = (ar_out["bf16"][1][len(prompt):] - n_text).clip(0, 1023)
+    nar_stage(nar, l0, 200)                  # warm
+    t_ref, ref_grid = nar_stage(nar, l0, 200)
+    nar_out = {"bf16_T200": (t_ref, 1.0)}
+    for name, nar_p, T in [("int8_T200", nar_int8, 200),
+                           ("int8_T100", nar_int8, 100),
+                           ("int8_T50", nar_int8, 50)]:
+        nar_stage(nar_p, l0, T)              # warm
+        t_nar, grid = nar_stage(nar_p, l0, T)
+        agree = float((grid[..., 1:] == ref_grid[..., 1:]).mean())
+        nar_out[name] = (t_nar, round(agree, 4))
+
+    modes = {}
+    for ar_mode, (t_ar, tokens) in ar_out.items():
+        agree = float((tokens[len(prompt):] == ref_tokens).mean())
+        for nar_mode, (t_nar, grid_agree) in nar_out.items():
+            modes[f"{ar_mode}+{nar_mode}"] = {
+                "rtf": round((t_ar + t_nar + 0.2) / AUDIO_SECONDS, 3),
+                "ar_token_agree_vs_bf16": round(agree, 4),
+                "nar_grid_agree_vs_bf16_T200": grid_agree,
+            }
 
     print(json.dumps({"metric": "rtf_quality_modes", "unit": "s/s",
-                      "value": results["bf16_T200"], "modes": results}))
+                      "value": modes["bf16+bf16_T200"]["rtf"], "modes": modes}))
 
 
 if __name__ == "__main__":

@@ -40,3 +40,8 @@ def reference_available() -> bool:
 def add_reference_to_path():
     if str(REFERENCE_ROOT) not in sys.path:
         sys.path.insert(0, str(REFERENCE_ROOT))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-geometry / multi-minute tests")

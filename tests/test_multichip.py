@@ -157,3 +157,44 @@ def test_sharded_nar_diffusion_matches_single_device():
     svc = ShardedNARDiffusion(params, cfg)
     out = np.asarray(svc.infer(batch, diff, T, dsh, key=key))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_nar_tp_attention_sharded_logits_match():
+    """VERDICT #6: attention shards head-aligned under tp; logits match replicated.
+
+    in_proj kernels are stored (3, D, D) (ops/attention.torch_mha) so the
+    per-third output D axis shards with a plain spec; tp=4 over 4 heads is
+    head-aligned. Row-parallel out_proj changes the accumulation split, so the
+    check is allclose (f32), not bitwise.
+    """
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from mars5_tts_tpu.models.nar import (ResidualTransformerConfig, init_nar,
+                                          nar_forward)
+    from mars5_tts_tpu.parallel import make_mesh, nar_specs
+    from mars5_tts_tpu.parallel.mesh import shard_tree
+
+    cfg = ResidualTransformerConfig.tiny(n_text_vocab=32)
+    params = init_nar(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    specs = nar_specs(params, tp_size=4)
+    dec = specs["decoder"]["layers"]
+    assert dec["sa_in_w"] == P(None, None, "tp", None)
+    assert dec["sa_out_w"] == P(None, None, "tp")
+    assert dec["ca_in_w"] == P(None, None, "tp", None)
+
+    rng = np.random.default_rng(1)
+    bs, Lt, Lc, Lx = 2, 5, 7, 11
+    args = (jnp.asarray(rng.integers(0, 32, (bs, Lt))),
+            jnp.asarray(rng.integers(0, 1024, (bs, Lc, 8))),
+            jnp.full((bs,), Lt, jnp.int32), jnp.full((bs,), Lc, jnp.int32),
+            jnp.asarray(rng.integers(0, 1024, (bs, Lx, 8))),
+            jnp.zeros((bs, Lx), bool), jnp.full((bs,), 3, jnp.int32))
+
+    fwd = jax.jit(lambda p: nar_forward(p, cfg, *args))
+    ref = np.asarray(fwd(params))
+
+    mesh = make_mesh(dp=2, tp=4)
+    sharded = shard_tree(mesh, params, specs)
+    with mesh:
+        out = np.asarray(fwd(sharded))
+    np.testing.assert_allclose(out, ref, atol=3e-5, rtol=1e-5)

@@ -91,3 +91,89 @@ def test_pallas_decode_attention_self_column(pos_val):
                                   jnp.asarray(pos), k_new=jnp.asarray(kn),
                                   v_new=jnp.asarray(vn), interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("l,masked", [(300, True), (517, False)])
+def test_pallas_mha_quantized_close_to_fp(l, masked):
+    """int8 QK/PV attention: bounded error vs the fp path + exact jnp mirror."""
+    import jax
+    from mars5_tts_tpu.ops.attention import sdpa
+    from mars5_tts_tpu.ops.pallas.mha import sdpa_pallas
+
+    b, h, d = 2, 4, 32
+    rng = np.random.default_rng(l + 1)
+    q = rng.standard_normal((b, l, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, l, h, d)).astype(np.float32)
+    v = rng.standard_normal((b, l, h, d)).astype(np.float32)
+    mask = np.zeros((b, l), bool)
+    if masked:
+        mask[1, l - 40:] = True
+
+    ref = np.asarray(sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          ~jnp.asarray(mask)[:, None, None, :]))
+    out = np.asarray(sdpa_pallas(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                 jnp.asarray(mask), interpret=True,
+                                 quantized=True))
+    # int8 scores + int8 probs/values: low-percent relative error. Random
+    # normal q/k are the worst case (near-uniform probs -> the output is a
+    # ~1/sqrt(L)-magnitude mean while quant noise scales with |v|); peaked
+    # real-model attention sits well below this bound.
+    err = np.abs(out - ref) / (np.abs(ref).max() + 1e-6)
+    assert err.max() < 0.08, err.max()
+
+    # exact mirror of the kernel's quantized math on one head
+    def quant_rows(xf):
+        s = np.maximum(np.abs(xf).max(1, keepdims=True), 1e-8) / 127.0
+        return np.clip(np.round(xf / s), -127, 127).astype(np.int32), s
+
+    bi, hi = 0, 1
+    q8, qs = quant_rows(q[bi, :, hi])
+    k8, ks = quant_rows(k[bi, :, hi])
+    s = (q8 @ k8.T).astype(np.float32) * (qs / np.sqrt(d)) * ks.T
+    if masked:
+        s[:, mask[bi]] = -np.inf
+    p = np.exp(s - s.max(1, keepdims=True))
+    r = p.sum(1, keepdims=True)
+    va = np.maximum(np.abs(v[bi, :, hi]).max(0, keepdims=True), 1e-8)
+    vs = va / 127.0
+    v8 = np.clip(np.round(v[bi, :, hi] / vs), -127, 127).astype(np.int32)
+    p8 = np.round(p * 127.0).astype(np.int32)
+    mine = (p8 @ v8).astype(np.float32) * (vs / 127.0) / r
+    np.testing.assert_allclose(out[bi, :, hi], mine, atol=2e-5, rtol=1e-4)
+
+
+def test_ln_quant_matches_unfused_chain():
+    """Fused LN→quant kernel == layer_norm + quantize_act, bitwise."""
+    from mars5_tts_tpu.ops.norms import layer_norm
+    from mars5_tts_tpu.ops.quant import quantize_act
+    from mars5_tts_tpu.ops.pallas.fused_quant import ln_quant
+
+    rng = np.random.default_rng(0)
+    b, l, d = 2, 70, 128      # l not a block multiple: exercises padding
+    x = jnp.asarray(rng.standard_normal((b, l, d)) * 3, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(d), jnp.float32)
+
+    ref_q, ref_s = quantize_act(layer_norm(x, w, bias, 4e-5))
+    q, s = ln_quant(x, w, bias, 4e-5, blk=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(ref_q))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=1e-6)
+
+
+def test_silu_mul_quant_matches_unfused_chain():
+    """Fused silu·mul→quant kernel == swiglu elementwise + quantize_act."""
+    import jax
+    from mars5_tts_tpu.ops.quant import quantize_act
+    from mars5_tts_tpu.ops.pallas.fused_quant import silu_mul_quant
+
+    rng = np.random.default_rng(1)
+    b, l, f = 1, 50, 256
+    wv = jnp.asarray(rng.standard_normal((b, l, 2 * f)), jnp.bfloat16)
+    w_out, v_out = jnp.split(wv, 2, axis=-1)
+    ref_q, ref_s = quantize_act(jax.nn.silu(w_out) * v_out)
+    q, s = silu_mul_quant(wv, blk=16, interpret=True)
+    # interpret mode upcasts bf16 elementwise math to f32 on CPU, so the
+    # silu·mul rounding can differ by one quantization level on a few elements
+    diff = np.abs(np.asarray(q).astype(int) - np.asarray(ref_q).astype(int))
+    assert diff.max() <= 1 and (diff > 0).mean() < 0.05, (diff.max(), (diff > 0).mean())
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=1e-2)
