@@ -198,12 +198,17 @@ def encodec_encode(p, cfg: EncodecConfig, audio):
     """Full encode path: (B, 1, T) audio -> (B, n_q, frames) codes @ 75 Hz.
 
     Jitted (one XLA program per audio-length bucket); cfg is static.
+    ``audio`` may be int16 PCM — scaled to float in-graph, so PCM16 sources
+    (WAV) upload at half the bytes (host->device transfer dominates this
+    stage's wall time on modest interconnects).
     """
     return _encodec_encode_jit(p, cfg, audio)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _encodec_encode_jit(p, cfg: EncodecConfig, audio):
+    if audio.dtype == jnp.int16:
+        audio = audio.astype(jnp.float32) / 32768.0
     emb = encoder_forward(p, cfg, audio)
     return rvq_encode(p["codebooks"], emb, cfg.n_q)
 

@@ -33,6 +33,12 @@ _FUSED_QUANT_MIN_ROWS = 1024
 
 
 def _use_fused_quant(wdict, x):
+    # Default OFF: measured neutral-to-negative on the v5e bench (+0.06s NAR)
+    # — XLA's producer-consumer fusions already keep the LN/silu chains near
+    # bandwidth, and 16k Pallas launches/trajectory eat the residual gain.
+    import os
+    if os.environ.get("MARS5_FUSED_EPILOGUE", "0") != "1":
+        return False
     from ..ops.quant import is_quantized
     if not (is_quantized(wdict) and "a8" in wdict):
         return False

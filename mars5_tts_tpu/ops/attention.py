@@ -11,8 +11,19 @@ tests against the torch reference).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Measured-negative perf experiments, default OFF (v5e bench, 200-step NAR):
+# int8 attention dots for W8A8 layers (+0.2s: the flash kernel is softmax-VPU-
+# bound, so halving MXU time while adding quant passes loses) and routing
+# long-q cross-attention through the Pallas kernel (tiny-Lk programs lose to
+# XLA's batched einsum). Kept behind env knobs for re-evaluation on other
+# geometries/hardware.
+_QATTN = os.environ.get("MARS5_QATTN", "0") == "1"
+_CROSS_PALLAS = os.environ.get("MARS5_CROSS_PALLAS", "0") == "1"
 
 NEG_INF = float("-inf")
 
@@ -103,7 +114,10 @@ def torch_mha(p, q_in, kv_in, nhead: int, key_padding_mask=None):
     k = k.reshape(b, lk, nhead, d // nhead)
     v = v.reshape(b, lk, nhead, d // nhead)
 
-    if lq == lk and lq >= _PALLAS_SELF_ATTN_MIN_LEN:
+    if lq >= _PALLAS_SELF_ATTN_MIN_LEN and (lq == lk or _CROSS_PALLAS):
+        # long-q self OR cross attention: the Pallas kernel keeps the
+        # (Lq, Lk) score tile in VMEM (cross-attention's XLA path would
+        # materialize (B, H, Lq, Lk) f32 three times per layer)
         from .pallas import enabled as _pallas_enabled
         if _pallas_enabled():
             from .quant import is_quantized
@@ -111,7 +125,7 @@ def torch_mha(p, q_in, kv_in, nhead: int, key_padding_mask=None):
             # int8-weight layers also run the attention dots int8 (QK^T / PV
             # at 2x the MXU rate; softmax stays f32 — see mha._mha_kernel)
             out = sdpa_pallas(q, k, v, key_padding_mask,
-                              quantized=is_quantized(p["in_proj_w"]))
+                              quantized=_QATTN and is_quantized(p["in_proj_w"]))
             return linear_any(out.reshape(b, lq, d), p["out_w"], p["out_b"])
 
     mask = None

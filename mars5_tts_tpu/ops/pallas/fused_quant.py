@@ -47,7 +47,7 @@ def _ln_quant_kernel(x_ref, w_ref, b_ref, q_ref, s_ref, *, eps: float):
     yf = y.astype(x_ref.dtype).astype(jnp.float32)
     q, xs = _quant_rows(yf)
     q_ref[0] = q
-    s_ref[0] = xs[:, 0]
+    s_ref[0] = xs
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "blk", "interpret"))
@@ -69,26 +69,31 @@ def ln_quant(x, w, b, eps: float = 4e-5, blk: int = 512,
     q, s = pl.pallas_call(
         functools.partial(_ln_quant_kernel, eps=eps),
         out_shape=(jax.ShapeDtypeStruct((bsz, lp, d), jnp.int8),
-                   jax.ShapeDtypeStruct((bsz, lp), jnp.float32)),
+                   jax.ShapeDtypeStruct((bsz, lp, 1), jnp.float32)),
         grid=(bsz, lp // blk),
         in_specs=[pl.BlockSpec((1, blk, d), lambda i, j: (i, j, 0)),
                   pl.BlockSpec((1, d), lambda i, j: (0, 0)),
                   pl.BlockSpec((1, d), lambda i, j: (0, 0))],
         out_specs=(pl.BlockSpec((1, blk, d), lambda i, j: (i, j, 0)),
-                   pl.BlockSpec((1, blk), lambda i, j: (i, j))),
+                   pl.BlockSpec((1, blk, 1), lambda i, j: (i, j, 0))),
         interpret=interpret,
     )(x, w.reshape(1, d), b.reshape(1, d))
-    return q[:, :l], s[:, :l, None]
+    return q[:, :l], s[:, :l]
 
 
 def _silu_mul_quant_kernel(wv_ref, q_ref, s_ref):
     f = wv_ref.shape[-1] // 2
     w = wv_ref[0, :, :f]
     v = wv_ref[0, :, f:]
-    u = (jax.nn.silu(w) * v).astype(jnp.float32)          # bf16 math, like swiglu_ff
+    # silu in f32 with a bf16 round-trip (Mosaic cannot lower bf16 silu — a
+    # f32 scalar broadcasts into the bf16 vector); one rounding step away from
+    # swiglu_ff's bf16 chain, within the W8A8 quantization grid
+    wf = w.astype(jnp.float32)
+    sw = (wf * jax.nn.sigmoid(wf)).astype(wv_ref.dtype)
+    u = (sw * v).astype(jnp.float32)
     q, xs = _quant_rows(u)
     q_ref[0] = q
-    s_ref[0] = xs[:, 0]
+    s_ref[0] = xs
 
 
 @functools.partial(jax.jit, static_argnames=("blk", "interpret"))
@@ -108,11 +113,11 @@ def silu_mul_quant(wv, blk: int = 256, interpret: bool = False):
     q, s = pl.pallas_call(
         _silu_mul_quant_kernel,
         out_shape=(jax.ShapeDtypeStruct((bsz, lp, f2 // 2), jnp.int8),
-                   jax.ShapeDtypeStruct((bsz, lp), jnp.float32)),
+                   jax.ShapeDtypeStruct((bsz, lp, 1), jnp.float32)),
         grid=(bsz, lp // blk),
         in_specs=[pl.BlockSpec((1, blk, f2), lambda i, j: (i, j, 0))],
         out_specs=(pl.BlockSpec((1, blk, f2 // 2), lambda i, j: (i, j, 0)),
-                   pl.BlockSpec((1, blk), lambda i, j: (i, j))),
+                   pl.BlockSpec((1, blk, 1), lambda i, j: (i, j, 0))),
         interpret=interpret,
     )(wv)
-    return q[:, :l], s[:, :l, None]
+    return q[:, :l], s[:, :l]

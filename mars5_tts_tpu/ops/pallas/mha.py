@@ -31,6 +31,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 
@@ -68,16 +69,24 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_blk: int, lk: int,
             si = jax.lax.dot_general(q8, k8, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.int32)
             s = si.astype(jnp.float32) * (qs * scale) * ks.reshape(1, lkp)
+            post_scale = 1.0
         else:
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32) * scale
+                                    preferred_element_type=jnp.float32)
+            # 1/sqrt(D) folds into the exp argument below: softmax(s*c) =
+            # exp((s - max s)*c) — one fewer full pass over the score tile
+            # (the kernel is softmax-VPU-bound, not MXU-bound)
+            post_scale = scale
         if bias_ref is not None:
+            # the caller's bias already holds -inf on the lane-alignment pad
+            # (sdpa_pallas pads the mask with True), so the iota pass is
+            # only needed when no mask was given
             s = s + bias_ref[0, 0:1, :]
-        if lkp != lk:
+        elif lkp != lk:
             j = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(j < lk, s, -jnp.inf)
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp((s - m) * post_scale) if post_scale != 1.0 else jnp.exp(s - m)
         r = jnp.sum(p, axis=1, keepdims=True)      # (BQ, 1)
         if quantized:
             vf = v_ref[0, :, sl].astype(jnp.float32)
@@ -143,23 +152,31 @@ def _call(q, k, v, bias, nhead: int, lk: int, blk_q: int, interpret: bool,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, blk_q, hb), lambda bi, hi, qi: (bi, qi, hi)),
+        # the int8 mode's q8/k8/p8 temporaries overflow the 16 MB default
+        # scoped-vmem budget at whole-seq q-blocks; the chip has headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 
 
 def sdpa_pallas(q, k, v, key_padding_mask=None, interpret: bool = False,
                 quantized: bool = False):
-    """Drop-in for ops.attention.sdpa on bidirectional self-attention.
+    """Drop-in for ops.attention.sdpa (bidirectional self- OR cross-attention).
 
     Args:
-        q/k/v: (B, L, H, D) with Lq == Lk.
-        key_padding_mask: optional (B, L) bool, True = IGNORE (torch convention).
+        q: (B, Lq, H, D); k/v: (B, Lk, H, D) — Lk may differ from Lq (the NAR
+            decoder's cross-attention reads a ~61-token memory; the XLA path
+            would materialize (B, H, Lq, Lk) f32 score tensors in HBM).
+        key_padding_mask: optional (B, Lk) bool, True = IGNORE (torch
+            convention).
         quantized: run the QK^T/PV dots int8 (see _mha_kernel).
     Returns:
-        (B, L, H, D) in q.dtype.
+        (B, Lq, H, D) in q.dtype.
     """
     b, l, h, d = q.shape
-    lkp = -(-l // 128) * 128         # k rows: lane multiple for the score tile
+    lk_in = k.shape[1]
+    lkp = -(-lk_in // 128) * 128     # k rows: lane multiple for the score tile
     # Whole-sequence q-blocks measured fastest at NAR geometry (fewer programs,
     # 189 vs 204-224 us at (2,16,1200,64)); cap the block so the two live
     # (blk_q, lkp) fp32 score temporaries stay within ~14 MB of VMEM.
@@ -167,21 +184,21 @@ def sdpa_pallas(q, k, v, key_padding_mask=None, interpret: bool = False,
     blk_q = min(-(-l // 8) * 8, max_blk)
     lqp = -(-l // blk_q) * blk_q     # q rows: pad to a whole q-block
     q2 = q.reshape(b, l, h * d)
-    k2 = k.reshape(b, l, h * d)
-    v2 = v.reshape(b, l, h * d)
+    k2 = k.reshape(b, lk_in, h * d)
+    v2 = v.reshape(b, lk_in, h * d)
     if lqp != l:
         q2 = jnp.pad(q2, ((0, 0), (0, lqp - l), (0, 0)))
-    if lkp != l:
-        k2 = jnp.pad(k2, ((0, 0), (0, lkp - l), (0, 0)))
-        v2 = jnp.pad(v2, ((0, 0), (0, lkp - l), (0, 0)))
+    if lkp != lk_in:
+        k2 = jnp.pad(k2, ((0, 0), (0, lkp - lk_in), (0, 0)))
+        v2 = jnp.pad(v2, ((0, 0), (0, lkp - lk_in), (0, 0)))
 
     bias = None
     if key_padding_mask is not None:
-        mask = jnp.pad(key_padding_mask, ((0, 0), (0, lkp - l)),
+        mask = jnp.pad(key_padding_mask, ((0, 0), (0, lkp - lk_in)),
                        constant_values=True)
         bias = jnp.where(mask, -jnp.inf, 0.0).astype(jnp.float32)
         bias = jnp.broadcast_to(bias[:, None, :], (b, 8, lkp))
 
-    out = _call(q2, k2, v2, bias, nhead=h, lk=l, blk_q=blk_q,
+    out = _call(q2, k2, v2, bias, nhead=h, lk=lk_in, blk_q=blk_q,
                 interpret=interpret, quantized=quantized)
     return out[:, :l].reshape(b, l, h, d)

@@ -46,7 +46,8 @@ class Mars5TTS:
                  ar_cfg: Optional[CodecLMConfig] = None,
                  nar_cfg: Optional[ResidualTransformerConfig] = None,
                  encodec_cfg: Optional[EncodecConfig] = None,
-                 vocos_cfg: Optional[VocosConfig] = None):
+                 vocos_cfg: Optional[VocosConfig] = None,
+                 ar_backend: str = "bf16", nar_backend: str = "bf16"):
         # tokenizers are embedded in the checkpoint vocab metadata
         self.texttok, self.speechtok = load_tokenizers(ar_ckpt)
 
@@ -87,6 +88,33 @@ class Mars5TTS:
         self.latent_sr = 75
         self.last_timing: dict = {}
         self._last_ar_runaway = False
+
+        # AR serving backend: "bf16" (XLA engine, exact reference parity —
+        # the default), "fused" (int8 Pallas decode-layer megakernel) or
+        # "fused4" (int4 nibble-packed weights, fastest). Quantized modes are
+        # quality-characterized in tests/test_quant.py and
+        # scripts/bench_quality_modes.py.
+        if ar_backend not in ("bf16", "fused", "fused4"):
+            raise ValueError(f"unknown ar_backend {ar_backend!r}")
+        self.ar_backend = ar_backend
+        self._fused_cache: dict = {}
+        # NAR backend: "bf16" (parity default) | "int8" (W8A8 dots + int8
+        # attention via the quantized Pallas flash kernel on TPU)
+        if nar_backend not in ("bf16", "int8"):
+            raise ValueError(f"unknown nar_backend {nar_backend!r}")
+        self.nar_backend = nar_backend
+        if nar_backend == "int8":
+            from .ops.quant import quantize_nar
+            self.codecnar = quantize_nar(self.codecnar)
+
+    def _get_fused(self, max_len: int):
+        """Lazily build (and cache, keyed by max_len) the fused decode pack."""
+        if max_len not in self._fused_cache:
+            from .models.ar_decode_fused import prepare_fused
+            wbits = 4 if self.ar_backend == "fused4" else 8
+            self._fused_cache[max_len] = prepare_fused(
+                self.codeclm, self.ar_cfg, max_len=max_len, wbits=wbits)
+        return self._fused_cache[max_len]
 
     @classmethod
     def from_local(cls, ar_path, nar_path, **kwargs) -> "Mars5TTS":
@@ -216,9 +244,18 @@ class Mars5TTS:
                 valid_start=len(self.texttok.vocab),
                 valid_end=len(self.texttok.vocab) + len(self.speechtok.vocab) + 1,
                 max_len=max_len)
-            gen_fn = ar_generate if cfg.use_kv_cache else ar_generate_nocache
-            ar_codes, _ = gen_fn(self.codeclm, self.ar_cfg, prompt,
-                                 spk_ref_codec, sampling=sampling, seed=seed)
+            from .ops.pallas import enabled as _pallas_enabled
+            if (self.ar_backend != "bf16" and cfg.use_kv_cache
+                    and _pallas_enabled()):
+                from .models.ar_decode_fused import ar_generate_fused
+                fp, dims = self._get_fused(max_len)
+                ar_codes, _ = ar_generate_fused(
+                    self.codeclm, fp, self.ar_cfg, dims, prompt, spk_ref_codec,
+                    sampling=sampling, seed=seed)
+            else:
+                gen_fn = ar_generate if cfg.use_kv_cache else ar_generate_nocache
+                ar_codes, _ = gen_fn(self.codeclm, self.ar_cfg, prompt,
+                                     spk_ref_codec, sampling=sampling, seed=seed)
             self._last_ar_runaway = len(ar_codes) >= max_len - 1
             if self._last_ar_runaway:
                 # preserved reference behavior (mars5/ar_generate.py:160-162):

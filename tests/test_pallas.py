@@ -172,8 +172,35 @@ def test_silu_mul_quant_matches_unfused_chain():
     w_out, v_out = jnp.split(wv, 2, axis=-1)
     ref_q, ref_s = quantize_act(jax.nn.silu(w_out) * v_out)
     q, s = silu_mul_quant(wv, blk=16, interpret=True)
-    # interpret mode upcasts bf16 elementwise math to f32 on CPU, so the
-    # silu·mul rounding can differ by one quantization level on a few elements
+    # the kernel computes silu in f32 with a bf16 round-trip (Mosaic cannot
+    # lower bf16 silu) and interpret mode upcasts bf16 math, so a few elements
+    # land 1-2 quantization levels off the unfused bf16 chain
     diff = np.abs(np.asarray(q).astype(int) - np.asarray(ref_q).astype(int))
-    assert diff.max() <= 1 and (diff > 0).mean() < 0.05, (diff.max(), (diff > 0).mean())
+    assert diff.max() <= 2 and (diff > 0).mean() < 0.05, (diff.max(), (diff > 0).mean())
     np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=1e-2)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_pallas_mha_cross_attention(quantized):
+    """Lk != Lq (decoder cross-attention shape): kernel matches XLA sdpa."""
+    from mars5_tts_tpu.ops.attention import sdpa
+    from mars5_tts_tpu.ops.pallas.mha import sdpa_pallas
+
+    b, lq, lk, h, d = 2, 300, 13, 4, 32
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((b, lq, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, lk, h, d)).astype(np.float32)
+    v = rng.standard_normal((b, lk, h, d)).astype(np.float32)
+    mask = np.zeros((b, lk), bool)
+    mask[1, lk - 4:] = True
+
+    ref = np.asarray(sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          ~jnp.asarray(mask)[:, None, None, :]))
+    out = np.asarray(sdpa_pallas(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                 jnp.asarray(mask), interpret=True,
+                                 quantized=quantized))
+    if quantized:
+        err = np.abs(out - ref) / (np.abs(ref).max() + 1e-6)
+        assert err.max() < 0.08, err.max()
+    else:
+        np.testing.assert_allclose(out, ref, atol=2e-5)

@@ -127,3 +127,35 @@ def test_longform_end_to_end(tiny_mars5):
     assert len(result.audio) > 0 and np.isfinite(result.audio).all()
     assert abs(sum(result.chunk_audio_seconds) * 24000 - len(result.audio)) < \
         24000  # stitching only adds/removes fades+gaps
+
+
+def test_tts_backend_knobs(tiny_mars5, tmp_path):
+    """ar_backend/nar_backend knobs construct and synthesize on CPU.
+
+    Pallas is disabled off-TPU, so ``fused`` falls back to the XLA engine —
+    tokens must match the bf16 default exactly; ``nar_backend="int8"``
+    exercises the quantized NAR end-to-end (agreement is characterized in
+    tests/test_quant.py, here it just must run).
+    """
+    import numpy as np
+    from mars5_tts_tpu.config import InferenceConfig
+    from mars5_tts_tpu.pipeline import Mars5TTS
+
+    mars5, info = tiny_mars5
+    rng = np.random.default_rng(0)
+    ref_audio = (rng.standard_normal(2400) * 0.05).astype(np.float32)
+    cfg = InferenceConfig(deep_clone=False, rep_penalty_window=8,
+                          timesteps=4, generate_max_len_override=24)
+
+    ar, wav = mars5.tts("hi there", ref_audio, "", cfg=cfg, seed=3)
+
+    m2 = Mars5TTS.from_local(info["ar_path"], info["nar_path"],
+                             encodec_params=mars5.encodec,
+                             vocos_params=mars5.vocos,
+                             ar_cfg=mars5.ar_cfg, nar_cfg=mars5.nar_cfg,
+                             encodec_cfg=mars5.encodec_cfg,
+                             vocos_cfg=mars5.vocos_cfg,
+                             ar_backend="fused4", nar_backend="int8")
+    ar2, wav2 = m2.tts("hi there", ref_audio, "", cfg=cfg, seed=3)
+    np.testing.assert_array_equal(np.asarray(ar), np.asarray(ar2))
+    assert np.isfinite(np.asarray(wav2)).all()
