@@ -48,7 +48,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NBUF = 2  # weight-chunk double buffering (measured: deeper buffers don't help)
+NBUF = 3  # weight-chunk buffering depth (3 helps the int4 mode hide unpack+dot)
 
 
 @dataclass(frozen=True)

@@ -86,7 +86,9 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_blk: int, lk: int,
             j = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(j < lk, s, -jnp.inf)
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp((s - m) * post_scale) if post_scale != 1.0 else jnp.exp(s - m)
+        # exp2 with the base change folded into the softmax scale: the kernel
+        # is VPU-bound and 2^x is the VPU-native transcendental
+        p = jnp.exp2((s - m) * (post_scale * 1.4426950408889634))
         r = jnp.sum(p, axis=1, keepdims=True)      # (BQ, 1)
         if quantized:
             vf = v_ref[0, :, sl].astype(jnp.float32)
