@@ -455,6 +455,25 @@ def insert_rows_sampling(pool: RowSampling, row: RowSampling, b) -> RowSampling:
 
 
 @jax.jit
+def extract_row(state: DecodeState, j) -> DecodeState:
+    """Slice row ``j`` of a batch DecodeState out as a bs=1 state.
+
+    Mirrors insert_row's per-field batch axes (cache_k/cache_v and uniforms
+    carry the batch on axis 1; everything else on axis 0)."""
+    return DecodeState(
+        tokens=jax.lax.dynamic_slice_in_dim(state.tokens, j, 1, 0),
+        cur=jax.lax.dynamic_slice_in_dim(state.cur, j, 1, 0),
+        n_gen=jax.lax.dynamic_slice_in_dim(state.n_gen, j, 1, 0),
+        cache_k=jax.lax.dynamic_slice_in_dim(state.cache_k, j, 1, 1),
+        cache_v=jax.lax.dynamic_slice_in_dim(state.cache_v, j, 1, 1),
+        counts=jax.lax.dynamic_slice_in_dim(state.counts, j, 1, 0),
+        uniforms=jax.lax.dynamic_slice_in_dim(state.uniforms, j, 1, 1),
+        est_len=jax.lax.dynamic_slice_in_dim(state.est_len, j, 1, 0),
+        done=jax.lax.dynamic_slice_in_dim(state.done, j, 1, 0),
+    )
+
+
+@jax.jit
 def insert_row(state: DecodeState, row: DecodeState, b) -> DecodeState:
     """Write a prefilled bs=1 row state into slot ``b`` of a batch state."""
     return DecodeState(

@@ -21,9 +21,10 @@ import jax
 import jax.numpy as jnp
 
 from ..models.ar import CodecLMConfig
-from ..models.ar_decode import (ArSampling, decode_chunk, insert_row,
-                                insert_rows_sampling, make_parked_state,
-                                prefill_row, rows_from_sampling)
+from ..models.ar_decode import (ArSampling, decode_chunk, extract_row,
+                                insert_row, insert_rows_sampling,
+                                make_parked_state, prefill_row,
+                                rows_from_sampling)
 
 
 @dataclass
@@ -83,24 +84,41 @@ class ContinuousBatcher:
     def _admit(self) -> None:
         done = np.asarray(self.state.done)
         free = [b for b in range(self.batch_size) if b not in self.active and done[b]]
-        while free and self.queue:
-            b = free.pop(0)
-            req = self.queue.pop(0)
-            pp = np.zeros((1, self.prompt_bucket), np.int32)
-            pp[0, : len(req.prompt)] = np.asarray(req.prompt, np.int32)
-            spk = np.full((1, self.spk_bucket, 8), self.cfg.codebook_size - 1, np.int32)
-            spk[0, : req.spk_codes.shape[0]] = np.asarray(req.spk_codes, np.int32)
+        take = min(len(free), len(self.queue))
+        if take == 0:
+            return
+        # ONE batched prefill for every admission this quantum (a bs=1 prefill
+        # per request serialized the whole pool between quanta). The batch is
+        # padded to a power of two so at most log2(pool) prefill shapes ever
+        # compile; pad rows replicate request 0 and are discarded.
+        reqs = [self.queue.pop(0) for _ in range(take)]
+        slots = free[:take]
+        nb = 1 << (take - 1).bit_length()
+        pp = np.zeros((nb, self.prompt_bucket), np.int32)
+        plens = np.zeros((nb,), np.int32)
+        spk = np.full((nb, self.spk_bucket, 8), self.cfg.codebook_size - 1,
+                      np.int32)
+        u = np.zeros((self.s.max_len, nb), np.float32)
+        row_list = []
+        for j in range(nb):
+            req = reqs[min(j, take - 1)]
+            pp[j, : len(req.prompt)] = np.asarray(req.prompt, np.int32)
+            plens[j] = len(req.prompt)
+            spk[j, : req.spk_codes.shape[0]] = np.asarray(req.spk_codes, np.int32)
             if req.uniforms is not None:
-                u = jnp.asarray(req.uniforms, jnp.float32)[:, None]
+                u[:, j] = np.asarray(req.uniforms, np.float32)
             else:
-                u = jax.random.uniform(jax.random.PRNGKey(req.seed),
-                                       (self.s.max_len, 1))
-            req_rows = rows_from_sampling(self.s, 1, req.sampling)
-            row = prefill_row(self.params, self.cfg, self.s, jnp.asarray(pp),
-                              jnp.asarray([len(req.prompt)], jnp.int32),
-                              jnp.asarray(spk), u, rows=req_rows)
+                u[:, j] = np.asarray(jax.random.uniform(
+                    jax.random.PRNGKey(req.seed), (self.s.max_len,)))
+            row_list.append(rows_from_sampling(self.s, 1, req.sampling))
+        rows_b = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *row_list)
+        batch = prefill_row(self.params, self.cfg, self.s, jnp.asarray(pp),
+                            jnp.asarray(plens), jnp.asarray(spk),
+                            jnp.asarray(u), rows=rows_b)
+        for j, (b, req) in enumerate(zip(slots, reqs)):
+            row = extract_row(batch, jnp.int32(j))
             self.state = insert_row(self.state, row, jnp.int32(b))
-            self.rows = insert_rows_sampling(self.rows, req_rows, jnp.int32(b))
+            self.rows = insert_rows_sampling(self.rows, row_list[j], jnp.int32(b))
             req._row = b
             self.active[b] = req
 
