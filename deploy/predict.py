@@ -22,7 +22,10 @@ class Predictor:
         nar_path = nar_path or os.environ.get("MARS5_NAR_CKPT", "mars5_nar.safetensors")
         encodec_path = encodec_path or os.environ.get("MARS5_ENCODEC_CKPT")
         vocos_path = vocos_path or os.environ.get("MARS5_VOCOS_CKPT")
-        kwargs = {}
+        # serving defaults to the quantized fast path on TPU; MARS5_AR_BACKEND/
+        # MARS5_NAR_BACKEND=bf16 restores exact reference-parity numerics
+        kwargs = {"ar_backend": os.environ.get("MARS5_AR_BACKEND", "fused"),
+                  "nar_backend": os.environ.get("MARS5_NAR_BACKEND", "int8")}
         if encodec_path:
             kwargs["encodec_params"] = load_codec_params(encodec_path, "encodec")
         if vocos_path:

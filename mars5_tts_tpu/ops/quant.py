@@ -120,10 +120,10 @@ def is_quantized(w) -> bool:
 def linear_w8a8_t(x, qt, scale, b=None):
     """W8A8 against a pre-transposed (in, out) int8 kernel.
 
-    Uses plain XLA dots: the MXU-native (K, N) layout measured 134 TOP/s at NAR
-    shapes vs 80 TFLOP/s bf16; a fused Pallas GEMM (ops/pallas/gemm.py) was
-    built and measured SLOWER (~70 TOP/s — Mosaic's matmul pipeline loses to
-    XLA's emitter at these sizes), so it is kept only as a tested reference.
+    Uses plain XLA dots (in-graph they run ~350 TOP/s at NAR shapes; standalone
+    microbenches that report far less are measuring their own feedback relayout
+    — see CLAUDE.md). A fused Pallas GEMM (ops/pallas/gemm.py) measured slower
+    than the XLA emitter at these sizes and is kept only as a tested reference.
     """
     xq, xs = quantize_act(x)
     y = jax.lax.dot_general(

@@ -83,7 +83,7 @@ def main():
             fp, dims = fused[int(mode[5:])]  # "fused8" | "fused4"
             tokens, _ = ar_generate_fused(ar, fp, ar_cfg, dims, prompt,
                                           prompt_codec[0].T, sampling=sampling,
-                                          uniforms=ar_uniforms, interpret=None)
+                                          uniforms=ar_uniforms, interpret=False)
         return time.perf_counter() - t0, np.asarray(tokens)
 
     def nar_stage(nar_p, l0, T):
@@ -126,11 +126,18 @@ def main():
 
     modes = {}
     for ar_mode, (t_ar, tokens) in ar_out.items():
-        agree = float((tokens[len(prompt):] == ref_tokens).mean())
+        gen = tokens[len(prompt):]
+        agree = float((gen == ref_tokens).mean())
+        mism = np.nonzero(gen != ref_tokens)[0]
+        # on random bench weights (near-uniform logits) one flipped token
+        # re-seeds the whole suffix, so the PREFIX length is the informative
+        # divergence statistic; elementwise agreement is reported alongside
+        first_div = int(mism[0]) if mism.size else len(gen)
         for nar_mode, (t_nar, grid_agree) in nar_out.items():
             modes[f"{ar_mode}+{nar_mode}"] = {
                 "rtf": round((t_ar + t_nar + 0.2) / AUDIO_SECONDS, 3),
                 "ar_token_agree_vs_bf16": round(agree, 4),
+                "ar_first_divergence": first_div,
                 "nar_grid_agree_vs_bf16_T200": grid_agree,
             }
 

@@ -159,3 +159,39 @@ def test_tts_backend_knobs(tiny_mars5, tmp_path):
     ar2, wav2 = m2.tts("hi there", ref_audio, "", cfg=cfg, seed=3)
     np.testing.assert_array_equal(np.asarray(ar), np.asarray(ar2))
     assert np.isfinite(np.asarray(wav2)).all()
+
+
+def test_deploy_predictor_end_to_end(tiny_mars5, tmp_path):
+    """deploy/predict.Predictor: setup from checkpoints + WAV-in/WAV-out."""
+    import sys
+    import numpy as np
+    sys.path.insert(0, "/root/repo")
+    from deploy.predict import Predictor
+    from mars5_tts_tpu.audio.io import read_wav, write_wav
+    from mars5_tts_tpu.hub import save_pytree_npz
+
+    mars5, info = tiny_mars5
+    enc_path = str(tmp_path / "encodec.npz")
+    voc_path = str(tmp_path / "vocos.npz")
+    save_pytree_npz(enc_path, mars5.encodec)
+    save_pytree_npz(voc_path, mars5.vocos)
+
+    rng = np.random.default_rng(0)
+    ref_path = str(tmp_path / "ref.wav")
+    write_wav(ref_path, (rng.standard_normal(2400) * 0.05).astype(np.float32),
+              sr=24000)
+
+    p = Predictor()
+    p.setup(ar_path=info["ar_path"], nar_path=info["nar_path"],
+            encodec_path=enc_path, vocos_path=voc_path)
+    # tiny fixture: cap generation/timesteps so the test stays fast (the
+    # Predictor's fixed deep-clone cfg would run T=200 on CPU)
+    import dataclasses
+    orig_tts = p.model.tts
+    def fast_tts(text, audio, ref_transcript=None, cfg=None, **kw):
+        cfg = dataclasses.replace(cfg, timesteps=4, generate_max_len_override=360)
+        return orig_tts(text, audio, ref_transcript=ref_transcript, cfg=cfg, **kw)
+    p.model.tts = fast_tts
+    out = p.predict("hello", ref_path, "hi", out_path=str(tmp_path / "out.wav"))
+    wav, sr = read_wav(out)
+    assert sr == 24000 and np.isfinite(wav).all() and wav.size > 0
