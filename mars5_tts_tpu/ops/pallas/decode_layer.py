@@ -48,7 +48,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NBUF = 3  # weight-chunk buffering depth (3 helps the int4 mode hide unpack+dot)
+NBUF = 4  # weight-chunk buffering depth (4 hides the int4 unpack; deeper is flat)
 
 
 @dataclass(frozen=True)
@@ -430,7 +430,10 @@ def fused_decode_layers(fp, x, pos, cache_k, cache_v, kv_scales, *,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # deep chunk buffering (NBUF) overflows the 16 MB default budget
+            vmem_limit_bytes=32 * 1024 * 1024),
     )(jnp.reshape(pos.astype(jnp.int32), (1, 1)), x, cos, sin, fp["hmask"],
       fp["pack"], fp["scales"], fp["w2_scales"], fp["attn_norms"],
       fp["ffn_norms"], cache_k, cache_v, kv_scales)
