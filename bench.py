@@ -37,11 +37,11 @@ AUDIO_SECONDS = 10.0
 REF_SECONDS = 6.0
 
 
-# AR decode mode: "fused" (default; int8 Pallas megakernel, the production
-# serving config) | "fused4" (int4 nibble-packed weights, fastest) |
-# "int8" (XLA weight-only int8) | "bf16" (XLA bf16 parity path)
+# AR decode mode: "fused4" (default; int4 nibble-packed Pallas megakernel —
+# the production serving config) | "fused" (int8 megakernel) | "int8" (XLA
+# weight-only int8) | "bf16" (XLA bf16 parity path)
 BENCH_AR = os.environ.get("BENCH_AR",
-                          "int8" if os.environ.get("BENCH_INT8") == "1" else "fused")
+                          "int8" if os.environ.get("BENCH_INT8") == "1" else "fused4")
 # NAR mode: "int8" (default; W8A8 XLA dots) | "bf16" (parity path)
 BENCH_NAR = os.environ.get("BENCH_NAR", "int8")
 # deep-clone prompt geometry is static: 60 text tokens + 450 codec frames

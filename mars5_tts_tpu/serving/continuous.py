@@ -89,11 +89,11 @@ class ContinuousBatcher:
             return
         # ONE batched prefill for every admission this quantum (a bs=1 prefill
         # per request serialized the whole pool between quanta). The batch is
-        # padded to a power of two so at most log2(pool) prefill shapes ever
-        # compile; pad rows replicate request 0 and are discarded.
+        # always pool-width so exactly ONE prefill shape ever compiles; pad
+        # rows replicate request 0 and are discarded.
         reqs = [self.queue.pop(0) for _ in range(take)]
         slots = free[:take]
-        nb = 1 << (take - 1).bit_length()
+        nb = self.batch_size
         pp = np.zeros((nb, self.prompt_bucket), np.int32)
         plens = np.zeros((nb,), np.int32)
         spk = np.full((nb, self.spk_bucket, 8), self.cfg.codebook_size - 1,

@@ -38,7 +38,7 @@ def main():
 
     cfgs, params = bench.build()
     ar_cfg, nar_cfg, enc_cfg, voc_cfg = cfgs
-    ar, nar, enc, voc = params
+    ar, nar, enc, voc, _ = params
     rng = np.random.default_rng(0)
 
     ref_audio = (rng.standard_normal(int(REF_SECONDS * 24000)) * 0.1).astype(np.float32)
