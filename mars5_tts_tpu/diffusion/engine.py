@@ -41,12 +41,31 @@ from .multinomial import MultinomialDiffusion
 from .schedule import build_step_plan
 
 
+def _progress_cb(i, n):
+    import sys
+    i = int(i) + 1
+    if i % 10 == 0 or i == int(n):
+        print(f"\rdiffusion step {i}/{int(n)}", end="" if i < int(n) else "\n",
+              file=sys.stderr, flush=True)
+
+
+def _progress_supported() -> bool:
+    # the axon PJRT tunnel has no host send/recv, so io/debug callbacks abort
+    # the whole trajectory (UNIMPLEMENTED); degrade to silent there
+    import logging
+    if jax.default_backend() == "axon":
+        logging.warning("DSH.progress requested but host callbacks are "
+                        "unsupported on the axon backend; running silently")
+        return False
+    return True
+
+
 @functools.partial(jax.jit, static_argnames=("nar_cfg", "dsh", "offset",
                                               "retain_quant0", "use_key",
                                               "honor_last_greedy"))
 def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
                     diff_tables, c_text, c_codes, c_texts_length, c_codes_length,
-                    x0_seed, x_known, m, x_padding_mask, x_quant0,
+                    x0_seed, x_known, x_padding_mask, x_quant0,
                     t_lasts, is_reverse, cs, uniforms, key, offset: int = 0,
                     retain_quant0: bool = True, use_key: bool = True,
                     honor_last_greedy: bool = False):
@@ -189,6 +208,11 @@ def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
         if retain_quant0:
             x = jnp.where(t_last > dsh.q0_override_steps,
                           x.at[..., 0].set(x_quant0), x)
+        if dsh.progress and _progress_supported():
+            # capability match for the reference's fastprogress bar
+            # (diffuser.py:446-448): a host log line every 10 steps. Statically
+            # gated on the (hashable, jit-static) DSH — zero cost when off.
+            jax.debug.callback(_progress_cb, i, t_lasts.shape[0])
         return x, None
 
     n_steps = t_lasts.shape[0]
@@ -234,8 +258,11 @@ def perform_simple_inference(nar_params, nar_cfg: ResidualTransformerConfig,
         x_init = jnp.asarray(x_init, jnp.int32)
     x = x_init.at[..., 0].set(x_quant0)
 
+    # The RePaint known-region mask (prompt block + L0 lane) is structural: the
+    # scan hardcodes it via ``offset`` and lane slicing rather than consuming a
+    # dense mask tensor (the reference's ``m``), so there is no mask argument —
+    # this wrapper is the single source of truth for that structure.
     x_known = jnp.zeros_like(x).at[..., 0].set(x[..., 0])
-    m = jnp.zeros(x.shape, bool).at[..., 0].set(True)
 
     offset = 0
     if dsh.deep_clone:
@@ -249,7 +276,6 @@ def perform_simple_inference(nar_params, nar_cfg: ResidualTransformerConfig,
         x_known = jnp.concatenate([prompt, x_known], axis=1)
         x_padding_mask = jnp.concatenate(
             [jnp.zeros((bs, lc), bool), x_padding_mask], axis=-1)
-        m = jnp.concatenate([jnp.ones(prompt.shape, bool), m], axis=1)
         x_quant0 = jnp.concatenate([prompt[..., 0], x_quant0], axis=-1)
         offset = lc
 
@@ -263,7 +289,7 @@ def perform_simple_inference(nar_params, nar_cfg: ResidualTransformerConfig,
 
     x_final = _diffusion_scan(
         nar_params, nar_cfg, dsh, diff, c_text, c_codes, c_texts_length,
-        c_codes_length, x, x_known, m, x_padding_mask, x_quant0,
+        c_codes_length, x, x_known, x_padding_mask, x_quant0,
         jnp.asarray(t_lasts), jnp.asarray(is_reverse), jnp.asarray(cs),
         uniforms, key_steps, offset=offset, retain_quant0=retain_quant0,
         use_key=use_key)

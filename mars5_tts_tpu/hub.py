@@ -81,7 +81,13 @@ def load_tokenizers(ckpt: dict):
 
 
 def save_pytree_npz(path, tree) -> None:
-    """Save a (dict/list-nested) parameter pytree as .npz with path-encoded keys."""
+    """Save a (dict/list-nested) parameter pytree as .npz with path-encoded keys.
+
+    Note: the native layout is not a stability contract (e.g. attention in-proj
+    kernels changed from flat (3D, D) to stacked (3, D, D) in round 2); durable
+    interchange goes through the reference-format converters (models/convert.py),
+    which are covered by strict round-trip tests.
+    """
     import jax
 
     flat = {}

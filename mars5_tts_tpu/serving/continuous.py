@@ -90,7 +90,7 @@ class ContinuousBatcher:
         # ONE batched prefill for every admission this quantum (a bs=1 prefill
         # per request serialized the whole pool between quanta). The batch is
         # always pool-width so exactly ONE prefill shape ever compiles; pad
-        # rows replicate request 0 and are discarded.
+        # rows replicate the LAST admitted request and are discarded.
         reqs = [self.queue.pop(0) for _ in range(take)]
         slots = free[:take]
         nb = self.batch_size
