@@ -112,8 +112,38 @@ def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
     memory_all = encoder_stack(nar_params["encoder"], c_all, nhead=nar_cfg.nhead,
                                key_padding_mask=cp_all).reshape(T, rows, lc, dim)
 
-    def model_x0_gen(x, t_last):
-        """CFG-combined x̂0 logits on the generated-frame slice, lanes 1..only.
+    # W8A8 serving path: per-lane head LN affines folded into the quantized
+    # head weights (ONE normalize + act-quant + merged GEMM per step instead of
+    # 7 each; see models/nar.fold_quant_heads). Parity path keeps exact op
+    # order. MARS5_FOLDED_HEADS=0 restores the unfolded quantized heads.
+    import os
+    from ..ops.pallas import enabled as _pallas_enabled
+    from ..ops.quant import is_quantized
+    _rd_lw = nar_params["residual_decoder"]["lin_w"]
+    _fold_ok = (is_quantized(_rd_lw) and "a8" in _rd_lw
+                and os.environ.get("MARS5_FOLDED_HEADS", "1") == "1")
+    # Fused tail kernel (ops/pallas/diffusion_tail.py): folded heads feed a
+    # single Pallas pass doing CFG + log_softmax + posterior + Gumbel-argmax.
+    # Serving path only (key-driven sampling); the injected-uniform parity
+    # harness keeps the dense math. MARS5_FUSED_TAIL=0 disables.
+    _KP = 1152  # class axis padded to 9*128 lanes
+    _TAIL_BL = 128
+    use_fused_tail = (_fold_ok and use_key and _pallas_enabled()
+                      and os.environ.get("MARS5_FUSED_TAIL", "1") == "1")
+    heads_folded = None
+    if _fold_ok:
+        from ..models.nar import fold_quant_heads, nar_heads_folded
+        heads_folded = fold_quant_heads(
+            nar_params, nar_cfg, tuple(range(1, n_lanes)),
+            pad_to=_KP if use_fused_tail else None)
+
+    def _gen_heads(out_slice):
+        if heads_folded is not None:
+            return nar_heads_folded(heads_folded, out_slice)
+        return nar_heads(nar_params, nar_cfg, out_slice, lanes=range(1, n_lanes))
+
+    def model_out_slice(x, t_last):
+        """Decoder output on the generated-frame slice: (rows, l_gen, dim).
 
         The masked-known region (prompt frames under deep clone + the L0 lane,
         where m=1) never consumes model logits — its update comes from
@@ -129,14 +159,53 @@ def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
         if cfg_batched:
             out = nar_decoder_apply(nar_params, nar_cfg, jnp.concatenate([x, x], 0),
                                     xpm2, t_dec, memory, c_padding)
-            logits = nar_heads(nar_params, nar_cfg, out[:, offset:],
-                               lanes=range(1, n_lanes))
+        else:
+            out = nar_decoder_apply(nar_params, nar_cfg, x, x_padding_mask, t_dec,
+                                    memory, c_padding)
+        return out[:, offset:]
+
+    def model_x0_gen(x, t_last):
+        """CFG-combined x̂0 logits (f32) on the generated-frame slice, lanes 1+.
+
+        The combine runs in f32 (upcast before the weighted sum): with w=3 the
+        bf16-serving logits would otherwise lose ~2 bits to intermediate bf16
+        rounding. fp32-parity numerics are unchanged (already f32).
+        """
+        logits = _gen_heads(model_out_slice(x, t_last)).astype(jnp.float32)
+        if cfg_batched:
             cond, uncond = logits[:bs], logits[bs:]
             return w * cond + (1.0 - w) * uncond
-        out = nar_decoder_apply(nar_params, nar_cfg, x, x_padding_mask, t_dec,
-                                memory, c_padding)
-        return nar_heads(nar_params, nar_cfg, out[:, offset:],
-                         lanes=range(1, n_lanes))
+        return logits
+
+    def fused_unknown(x, i, t_last):
+        """unknown-region sampling through the fused tail kernel (serving path).
+
+        Consumes the SAME u0 stream as the dense path (shared-randomness
+        quality harness); frame/class padding feeds the 128-aligned kernel and
+        is sliced off. See ops/pallas/diffusion_tail.py.
+        """
+        from ..ops.pallas.diffusion_tail import diffusion_tail, tail_scalars
+        l_gen_p = -(-l_gen // _TAIL_BL) * _TAIL_BL
+        pad_f = l_gen_p - l_gen
+        outs = model_out_slice(x, t_last)
+        if pad_f:
+            outs = jnp.pad(outs, ((0, 0), (0, pad_f), (0, 0)))
+        yflat = nar_heads_folded(heads_folded, outs, flat=True)
+        u0 = jax.random.uniform(jax.random.fold_in(key, 3 * i),
+                                (bs, l_gen, n_lanes - 1, num_classes))
+        u0p = jnp.pad(u0, ((0, 0), (0, pad_f), (0, 0),
+                           (0, _KP - num_classes)))
+        xt = x[:, offset:, 1:]
+        if pad_f:
+            xt = jnp.pad(xt, ((0, 0), (0, pad_f), (0, 0)))
+        scal = tail_scalars(diff, t_last, diff.log_num_classes)
+        if dsh.last_greedy and honor_last_greedy:
+            scal = scal.at[5].set(jnp.where(t_last == 0, 0.0, 1.0))
+        idx = diffusion_tail(
+            yflat, u0p.reshape(bs, l_gen_p, (n_lanes - 1) * _KP), xt, scal,
+            n_classes=num_classes, w=float(w), temp=float(dsh.x_0_temp),
+            bl=_TAIL_BL)
+        return idx[:, :l_gen]
 
     def step(carry, inp):
         x = carry
@@ -144,11 +213,7 @@ def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
         t = jnp.full((bs,), t_last, jnp.int32)
 
         def reverse(x):
-            x0_logits = model_x0_gen(x, t_last).astype(jnp.float32)
-            log_x0 = jax.nn.log_softmax(x0_logits / dsh.x_0_temp, axis=-1)
             if use_key:
-                u0 = jax.random.uniform(jax.random.fold_in(key, 3 * i),
-                                        log_x0.shape)
                 # known-region draws are two-value categoricals: 2 uniforms per
                 # position (distribution-exact) instead of a (…, K) Gumbel grid
                 u1p = jax.random.uniform(jax.random.fold_in(key, 3 * i + 1),
@@ -156,24 +221,34 @@ def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
                 u1l = jax.random.uniform(jax.random.fold_in(key, 3 * i + 2),
                                          (bs, l_gen, 1, 2))
             else:
-                u0 = uniforms[i, 0][:, offset:, 1:]
                 u1p = uniforms[i, 1][:, :offset]
                 u1l = uniforms[i, 1][:, offset:, :1]
-            # indexed q_posterior: x is one-hot by construction, so the x_t leg
-            # collapses to a two-scalar select (bit-identical, ~6 fewer passes
-            # over the grid tensor per step); the key path also skips the
-            # logsumexp normalization (Gumbel-max/argmax are shift-invariant)
-            log_pred = diff.q_posterior_indexed(log_x0, x[:, offset:, 1:], t,
-                                                normalize=not use_key)
-            unknown = diff.log_sample_categorical(log_pred, u0)
-            # NOTE: the reference driver never forwards dsh.last_greedy to
-            # reverse_diffusion (diffuser.py:461 omits the kwarg), so despite
-            # inference.py passing last_greedy=True it always samples at t=0.
-            # We replicate that; honor_last_greedy=True enables the documented
-            # (but dead) argmax-at-t0 behavior.
-            if dsh.last_greedy and honor_last_greedy:
-                greedy = jnp.argmax(log_pred, axis=-1).astype(jnp.int32)
-                unknown = jnp.where(t_last == 0, greedy, unknown)
+            if use_fused_tail:
+                unknown = fused_unknown(x, i, t_last)
+            else:
+                x0_logits = model_x0_gen(x, t_last).astype(jnp.float32)
+                log_x0 = jax.nn.log_softmax(x0_logits / dsh.x_0_temp, axis=-1)
+                if use_key:
+                    u0 = jax.random.uniform(jax.random.fold_in(key, 3 * i),
+                                            log_x0.shape)
+                else:
+                    u0 = uniforms[i, 0][:, offset:, 1:]
+                # indexed q_posterior: x is one-hot by construction, so the x_t
+                # leg collapses to a two-scalar select (bit-identical, ~6 fewer
+                # passes over the grid tensor per step); the key path also
+                # skips the logsumexp normalization (Gumbel-max/argmax are
+                # shift-invariant)
+                log_pred = diff.q_posterior_indexed(log_x0, x[:, offset:, 1:],
+                                                    t, normalize=not use_key)
+                unknown = diff.log_sample_categorical(log_pred, u0)
+                # NOTE: the reference driver never forwards dsh.last_greedy to
+                # reverse_diffusion (diffuser.py:461 omits the kwarg), so
+                # despite inference.py passing last_greedy=True it always
+                # samples at t=0. We replicate that; honor_last_greedy=True
+                # enables the documented (but dead) argmax-at-t0 behavior.
+                if dsh.last_greedy and honor_last_greedy:
+                    greedy = jnp.argmax(log_pred, axis=-1).astype(jnp.int32)
+                    unknown = jnp.where(t_last == 0, greedy, unknown)
             # masked-known region: RePaint re-noises x_known (prompt block and
             # the L0 lane); at t=0 it is taken verbatim.
             if use_key:

@@ -71,7 +71,15 @@ def swiglu_ff(p, x):
     Pallas pass (ops/pallas/fused_quant.silu_mul_quant).
     """
     from ..ops.quant import linear_any
-    wv = linear_any(x, p["WV"])
+    import os
+    if (os.environ.get("MARS5_GEMM_X") and isinstance(p["WV"], dict)
+            and "a8" in p["WV"] and not isinstance(x, tuple)
+            and x.shape[1] >= 512):  # decoder-stack sites only (L=1200)
+        # round-3 Mosaic GEMM experiment hook (see ops/pallas/gemm_x.py)
+        from ..ops.pallas.gemm_x import wv_experiment
+        wv = wv_experiment(x, p["WV"]["q"], p["WV"]["s"])
+    else:
+        wv = linear_any(x, p["WV"])
     if _use_fused_quant(p["lin2_w"], wv):
         from ..ops.pallas.fused_quant import silu_mul_quant
         uq, us = silu_mul_quant(wv)

@@ -175,6 +175,71 @@ def nar_heads(p, cfg: ResidualTransformerConfig, out, lanes=None):
     return jnp.stack([head(i) for i in lanes], axis=2)
 
 
+def fold_quant_heads(p, cfg: ResidualTransformerConfig, lanes: tuple,
+                     pad_to: int | None = None):
+    """Fold the per-lane head LayerNorm affines into the quantized head weights.
+
+    The 8 output heads are LN_i(out) @ W_i^T + b_i where every LN_i shares the
+    SAME normalization statistics (they all normalize ``out``) and differs only
+    in the affine (w_i, b_i). Algebra: with n = (out - mean)/sqrt(var + eps),
+        LN_i(out) @ W_i^T + b_i = n @ (W_i ⊙ w_i)^T + (W_i @ b_i + b_i').
+    So the serving path computes ONE normalize + ONE activation quant + ONE
+    merged GEMM over all requested lanes instead of 7 × (LN + quant + GEMM).
+    Quantized (W8A8) path only — the parity path keeps the reference op order
+    bit-for-bit (reference: mars5/model.py:233-243 residual_decoder heads).
+
+    Returns {"q": (n_lanes, n_quant, d) int8, "s": f32 scales, "b": f32 biases}
+    — folded weights requantized per output row (a trajectory-level precompute;
+    XLA hoists it out of the diffusion scan as loop-invariant).
+    """
+    rd = p["residual_decoder"]
+    idx = jnp.asarray(lanes, jnp.int32)
+    lw = rd["lin_w"]
+    wf = lw["q"][idx].astype(jnp.float32) * lw["s"][idx][..., None]  # (n, N, D)
+    lnw = rd["ln_w"][idx].astype(jnp.float32)                        # (n, D)
+    lnb = rd["ln_b"][idx].astype(jnp.float32)
+    bias = rd["lin_b"][idx].astype(jnp.float32)
+    wfold = wf * lnw[:, None, :]
+    bfold = jnp.einsum("lnd,ld->ln", wf, lnb) + bias
+    amax = jnp.max(jnp.abs(wfold), axis=-1)
+    s2 = jnp.maximum(amax, 1e-12) / 127.0
+    q2 = jnp.clip(jnp.round(wfold / s2[..., None]), -127, 127).astype(jnp.int8)
+    if pad_to is not None and pad_to > q2.shape[1]:
+        # pad the class axis to a lane-aligned width for the fused tail kernel
+        # (ops/pallas/diffusion_tail.py): pad rows produce logit -1e30
+        # (softmax-transparent; the kernel re-masks them before argmax)
+        extra = pad_to - q2.shape[1]
+        q2 = jnp.pad(q2, ((0, 0), (0, extra), (0, 0)))
+        s2 = jnp.pad(s2, ((0, 0), (0, extra)), constant_values=1.0)
+        bfold = jnp.pad(bfold, ((0, 0), (0, extra)), constant_values=-1e30)
+    return {"q": q2, "s": s2, "b": bfold}
+
+
+def nar_heads_folded(folded, out, eps: float = 1e-5, flat: bool = False):
+    """Merged-GEMM output heads from fold_quant_heads (W8A8 serving path).
+
+    Args:
+        out: (bs, L, d) decoder output slice.
+    Returns:
+        (bs, L, n_lanes, n_quant) logits in out.dtype.
+    """
+    from ..ops.quant import quantize_act
+    n, nq, d = folded["q"].shape
+    xf = out.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    nrm = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(out.dtype)
+    xq, xs = quantize_act(nrm)
+    y = jax.lax.dot_general(xq, folded["q"].reshape(n * nq, d),
+                            dimension_numbers=(((2,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (xs * folded["s"].reshape(n * nq))
+    y = y + folded["b"].reshape(n * nq)
+    if flat:
+        return y.astype(out.dtype)                   # (bs, L, n*nq)
+    return y.reshape(*out.shape[:2], n, nq).astype(out.dtype)
+
+
 def nar_forward(p, cfg: ResidualTransformerConfig, c_text, c_codes, c_texts_length,
                 c_codes_length, x, x_padding_mask, t, drop_cond=None, spk=None):
     """Full denoiser forward: backbone + all 8 heads.
