@@ -83,8 +83,13 @@ class RowSampling(NamedTuple):
 
 
 def rows_from_sampling(s: "ArSampling", bs: int,
-                       overrides: dict | None = None) -> RowSampling:
-    """Broadcast an ArSampling into a RowSampling (optionally overriding)."""
+                       overrides: dict | None = None,
+                       cap_top_k: int | None = None) -> RowSampling:
+    """Broadcast an ArSampling into a RowSampling (optionally overriding).
+
+    ``cap_top_k`` is the pool's static top-k extraction width (defaults to
+    ``s.top_k``); per-row top_k is clamped to it.
+    """
     o = overrides or {}
 
     def get(name, dtype):
@@ -92,7 +97,8 @@ def rows_from_sampling(s: "ArSampling", bs: int,
 
     return RowSampling(
         temperature=get("temperature", jnp.float32),
-        top_k=jnp.minimum(get("top_k", jnp.int32), s.top_k),
+        top_k=jnp.minimum(get("top_k", jnp.int32),
+                          s.top_k if cap_top_k is None else cap_top_k),
         top_p=get("top_p", jnp.float32),
         typical_p=get("typical_p", jnp.float32),
         alpha_frequency=get("alpha_frequency", jnp.float32),

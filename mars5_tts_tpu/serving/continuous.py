@@ -2,9 +2,17 @@
 
 The throughput serving loop for BASELINE config #5: a fixed-size row pool decodes
 in fixed-step chunks (the scheduling quantum); between chunks, finished rows are
-harvested and waiting requests are prefilled (bs=1) and inserted into free rows.
+harvested and waiting requests are prefilled and inserted into free rows.
 Rows are computationally independent, so results are bit-identical to standalone
 ``ar_generate`` runs with the same per-request uniform stream (tested).
+
+Mixed-length queues: prompts are assigned to the smallest of ``prompt_buckets``
+that fits (e.g. (64, 256, 576) spans shallow-clone ~30-token prompts and
+deep-clone ~510-token prompts), and each admission quantum runs ONE pool-width
+prefill per distinct bucket — a 64-wide prefill for shallow requests costs ~1/9
+the FLOPs of the deep bucket. Per-request sampling overrides may raise top_k up
+to ``max_top_k`` (the pool's static extraction width), independent of the
+default ``sampling.top_k``.
 
 Host<->device traffic per quantum: one (bs,) done-flag read, plus per-transition
 row inserts/harvests — the decode itself never leaves the device.
@@ -12,8 +20,8 @@ row inserts/harvests — the decode itself never leaves the device.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Optional
+from dataclasses import dataclass, replace
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -34,8 +42,8 @@ class Request:
     seed: int = 0
     uniforms: Optional[np.ndarray] = None  # (max_len,) override (parity harness)
     # per-request sampling overrides (temperature/top_k/top_p/typical_p/
-    # alpha_frequency/alpha_presence/penalty_window/eos_penalty_*); top_k must
-    # not exceed the pool ArSampling's static top_k:
+    # alpha_frequency/alpha_presence/penalty_window/eos_penalty_*); top_k may
+    # exceed the default sampling's top_k up to the pool's ``max_top_k``:
     sampling: Optional[dict] = None
     # filled on completion:
     tokens: Optional[np.ndarray] = None
@@ -47,37 +55,57 @@ class ContinuousBatcher:
     """Fixed-pool continuous batcher over the AR decode engine.
 
     The pool shares one static ``ArSampling`` (compile shapes: vocab window,
-    top-k extraction width, max_len) plus one prompt/speaker bucket each, but
-    every request may override its sampling hyperparameters per row
-    (``Request.sampling``) — the logit pipeline runs row-wise dynamic.
+    top-k extraction width = ``max_top_k``, max_len) plus a small set of
+    prompt buckets, but every request may override its sampling
+    hyperparameters per row (``Request.sampling``) — the logit pipeline runs
+    row-wise dynamic.
     """
 
     def __init__(self, params, cfg: CodecLMConfig, sampling: ArSampling, *,
                  batch_size: int = 4, chunk_steps: int = 64,
-                 prompt_bucket: int = 64, spk_bucket: int = 64,
-                 dtype=jnp.float32):
+                 prompt_buckets: Sequence[int] = (64,), spk_bucket: int = 64,
+                 max_top_k: int | None = None, dtype=jnp.float32,
+                 prompt_bucket: int | None = None):
+        if prompt_bucket is not None:  # back-compat single-bucket spelling
+            prompt_buckets = (prompt_bucket,)
+        self.prompt_buckets = tuple(sorted(prompt_buckets))
         window = min(cfg.sliding_window, sampling.max_len + 1)
-        if prompt_bucket + 1 > window:
-            raise ValueError(f"prompt bucket {prompt_bucket}+1 exceeds window {window}")
+        if self.prompt_buckets[-1] + 1 > window:
+            raise ValueError(
+                f"prompt bucket {self.prompt_buckets[-1]}+1 exceeds window {window}")
+        self.max_top_k = max_top_k if max_top_k is not None else sampling.top_k
+        # static compile sampling: extraction width = max_top_k; per-row
+        # DEFAULTS still come from the caller's sampling (self.default_s)
         self.params = params
         self.cfg = cfg
-        self.s = sampling
+        self.default_s = sampling
+        self.s = replace(sampling, top_k=self.max_top_k)
         self.batch_size = batch_size
         self.chunk_steps = chunk_steps
-        self.prompt_bucket = prompt_bucket
         self.spk_bucket = spk_bucket
-        self.state = make_parked_state(cfg, sampling, batch_size, dtype)
-        self.rows = rows_from_sampling(sampling, batch_size)
+        self.state = make_parked_state(cfg, self.s, batch_size, dtype)
+        self.rows = rows_from_sampling(sampling, batch_size,
+                                       cap_top_k=self.max_top_k)
         self.queue: list[Request] = []
         self.active: dict[int, Request] = {}
         self.completed: list[Request] = []
         self.chunks_run = 0
+        self.prefills_by_bucket: dict[int, int] = {b: 0 for b in self.prompt_buckets}
 
     # ------------------------------------------------------------- lifecycle
+    def _bucket_for(self, n: int) -> int:
+        for b in self.prompt_buckets:
+            if n <= b:
+                return b
+        raise ValueError(
+            f"prompt length {n} exceeds bucket {self.prompt_buckets[-1]}")
+
     def submit(self, request: Request) -> Request:
-        if len(request.prompt) > self.prompt_bucket:
+        self._bucket_for(len(request.prompt))  # validate early
+        if request.sampling and request.sampling.get("top_k", 0) > self.max_top_k:
             raise ValueError(
-                f"prompt length {len(request.prompt)} exceeds bucket {self.prompt_bucket}")
+                f"request top_k {request.sampling['top_k']} exceeds pool "
+                f"max_top_k {self.max_top_k}")
         self.queue.append(request)
         return request
 
@@ -87,40 +115,50 @@ class ContinuousBatcher:
         take = min(len(free), len(self.queue))
         if take == 0:
             return
-        # ONE batched prefill for every admission this quantum (a bs=1 prefill
-        # per request serialized the whole pool between quanta). The batch is
-        # always pool-width so exactly ONE prefill shape ever compiles; pad
-        # rows replicate the LAST admitted request and are discarded.
         reqs = [self.queue.pop(0) for _ in range(take)]
         slots = free[:take]
+        # ONE batched prefill per DISTINCT bucket this quantum (a bs=1 prefill
+        # per request serialized the whole pool between quanta). Each prefill
+        # is always pool-width so at most len(prompt_buckets) prefill shapes
+        # ever compile; pad rows are zeros (their outputs are discarded).
+        by_bucket: dict[int, list[tuple[int, Request]]] = {}
+        for slot, req in zip(slots, reqs):
+            by_bucket.setdefault(self._bucket_for(len(req.prompt)), []).append(
+                (slot, req))
         nb = self.batch_size
-        pp = np.zeros((nb, self.prompt_bucket), np.int32)
-        plens = np.zeros((nb,), np.int32)
-        spk = np.full((nb, self.spk_bucket, 8), self.cfg.codebook_size - 1,
-                      np.int32)
-        u = np.zeros((self.s.max_len, nb), np.float32)
-        row_list = []
-        for j in range(nb):
-            req = reqs[min(j, take - 1)]
-            pp[j, : len(req.prompt)] = np.asarray(req.prompt, np.int32)
-            plens[j] = len(req.prompt)
-            spk[j, : req.spk_codes.shape[0]] = np.asarray(req.spk_codes, np.int32)
-            if req.uniforms is not None:
-                u[:, j] = np.asarray(req.uniforms, np.float32)
-            else:
-                u[:, j] = np.asarray(jax.random.uniform(
-                    jax.random.PRNGKey(req.seed), (self.s.max_len,)))
-            row_list.append(rows_from_sampling(self.s, 1, req.sampling))
-        rows_b = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *row_list)
-        batch = prefill_row(self.params, self.cfg, self.s, jnp.asarray(pp),
-                            jnp.asarray(plens), jnp.asarray(spk),
-                            jnp.asarray(u), rows=rows_b)
-        for j, (b, req) in enumerate(zip(slots, reqs)):
-            row = extract_row(batch, jnp.int32(j))
-            self.state = insert_row(self.state, row, jnp.int32(b))
-            self.rows = insert_rows_sampling(self.rows, row_list[j], jnp.int32(b))
-            req._row = b
-            self.active[b] = req
+        for bucket, group in sorted(by_bucket.items()):
+            pp = np.zeros((nb, bucket), np.int32)
+            plens = np.zeros((nb,), np.int32)
+            spk = np.full((nb, self.spk_bucket, 8), self.cfg.codebook_size - 1,
+                          np.int32)
+            u = np.zeros((self.s.max_len, nb), np.float32)
+            row_list = [rows_from_sampling(self.default_s, 1,
+                                           cap_top_k=self.max_top_k)] * nb
+            for j, (_slot, req) in enumerate(group):
+                pp[j, : len(req.prompt)] = np.asarray(req.prompt, np.int32)
+                plens[j] = len(req.prompt)
+                spk[j, : req.spk_codes.shape[0]] = np.asarray(req.spk_codes,
+                                                              np.int32)
+                if req.uniforms is not None:
+                    u[:, j] = np.asarray(req.uniforms, np.float32)
+                else:
+                    u[:, j] = np.asarray(jax.random.uniform(
+                        jax.random.PRNGKey(req.seed), (self.s.max_len,)))
+                row_list[j] = rows_from_sampling(self.default_s, 1,
+                                                 req.sampling,
+                                                 cap_top_k=self.max_top_k)
+            rows_b = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *row_list)
+            batch = prefill_row(self.params, self.cfg, self.s, jnp.asarray(pp),
+                                jnp.asarray(plens), jnp.asarray(spk),
+                                jnp.asarray(u), rows=rows_b)
+            self.prefills_by_bucket[bucket] += 1
+            for j, (slot, req) in enumerate(group):
+                row = extract_row(batch, jnp.int32(j))
+                self.state = insert_row(self.state, row, jnp.int32(slot))
+                self.rows = insert_rows_sampling(self.rows, row_list[j],
+                                                 jnp.int32(slot))
+                req._row = slot
+                self.active[slot] = req
 
     def _harvest(self) -> None:
         done = np.asarray(self.state.done)
