@@ -1,5 +1,6 @@
 """Weight-only int8 quantization: accuracy + engine integration."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -131,18 +132,22 @@ def test_fused_ar_token_divergence():
     # weights the posteriors are near-uniform (the worst case — any logit
     # perturbation can flip a draw), so token trajectories legitimately split
     # within a few steps and later tokens agree only by chance. Token-level
-    # drift is therefore characterized, not asserted, beyond step 1; the
-    # direct per-step fidelity gate is test_fused_step_logit_error below.
-    assert agree > 0.2, f"fused int8 AR agreement {agree:.2f}"
+    # drift beyond step 1 is characterized by `agree` (not asserted); the
+    # per-step fidelity gates live in test_fused_step_logit_error (both
+    # wbits, tight budgets).
+    del agree
 
 
-def test_fused_step_logit_error():
-    """Direct one-step fidelity: fused int8(+KV8) logits vs bf16 engine logits.
+@pytest.mark.parametrize("wbits,budget", [(8, 0.02), (4, 0.05)])
+def test_fused_step_logit_error(wbits, budget):
+    """Direct one-step fidelity: fused int8/int4(+KV8) logits vs bf16 engine.
 
     Runs a single decode step from identical prefill state (no compounding):
     the quantized pipeline's logit perturbation must stay small relative to
     the logit scale — this, not token drift on random weights, is the
-    meaningful per-step quality measure for the quantized serving mode.
+    meaningful per-step quality gate for BOTH serving wbits (the primary
+    replacement for the chance-level token-agreement smoke; measured values
+    at this geometry: 0.0085 int8, 0.0247 int4 — budgets carry ~2x margin).
     """
     from mars5_tts_tpu.models.ar import CodecLMConfig, init_codeclm, codeclm_prefill, spk_embedding
     from mars5_tts_tpu.models.ar_decode import ArSampling, ar_generate
@@ -155,7 +160,7 @@ def test_fused_step_logit_error():
                         head_dim=64, n_layers=3, hidden_dim=512,
                         sliding_window=64, n_spk_layers=2, spk_hidden_dim=256)
     params = init_codeclm(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    fp, dims = prepare_fused(params, cfg, max_len=48)
+    fp, dims = prepare_fused(params, cfg, max_len=48, wbits=wbits)
 
     prompt = jnp.asarray(np.arange(12, 24), jnp.int32)[None]
     spk = jnp.asarray(np.random.default_rng(0).integers(0, 1024, (20, 8)))[None]
@@ -188,6 +193,5 @@ def test_fused_step_logit_error():
     lf = np.asarray(logits_fused, np.float32).ravel()
     scale = np.abs(lr).max()
     rel = np.abs(lr - lf).max() / scale
-    # W8A8 weights + int8 KV: per-step logit perturbation stays a few percent
-    # of the logit scale (characterized bound; regression catcher)
-    assert rel < 0.08, f"fused step relative logit error {rel:.3f}"
+    assert rel < budget, (
+        f"fused step relative logit error {rel:.4f} (wbits={wbits})")
