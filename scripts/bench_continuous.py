@@ -1,9 +1,10 @@
-"""Continuous-batching AR throughput at released-model geometry.
+"""Continuous-batching system throughput at released-model geometry.
 
 Streams N_REQ deep-clone-shaped requests (staggered arrivals) through a
-ROWS-row ContinuousBatcher and reports AR seconds-of-audio per second per chip
-(the AR stage is the serving loop's latency-critical path; NAR refinement runs
-as a downstream batch stage — see bench_batched.py).
+ROWS-row ContinuousBatcher, then rides the completed rows through shared NAR
+diffusion waves (serving/nar_waves.py, W8A8 + fused tail) — reporting both the
+AR-only and the END-TO-END system seconds-of-audio per second per chip
+(VERDICT r2 #7). NAR_WAVE=0 skips the NAR stage (round-2 behavior).
 
 Prints one JSON line.
 """
@@ -90,14 +91,64 @@ def main():
     assert len(batcher.completed) == N_REQ
     frames = sum(r.n_gen for r in batcher.completed)
     audio_s = frames / 75.0
-    # each request should have decoded its full budget (eos unreachable)
+    detail = {"requests": N_REQ, "rows": ROWS, "chunk_steps": CHUNK,
+              "ar_wall_s": round(wall, 2), "quanta": batcher.chunks_run,
+              "frames": int(frames),
+              "ar_audio_s_per_s": round(audio_s / wall, 3)}
+
+    if os.environ.get("NAR_WAVE", "1") == "1":
+        from mars5_tts_tpu.config import DSH
+        from mars5_tts_tpu.diffusion import MultinomialDiffusion
+        from mars5_tts_tpu.ops.quant import quantize_nar
+        from mars5_tts_tpu.serving.nar_waves import NarRequest, NarWaveScheduler
+
+        nar_q = quantize_nar(nar)
+        diff = MultinomialDiffusion(1025, timesteps=200)
+        dsh = DSH(last_greedy=True, x_0_temp=0.7, guidance_w=3.0,
+                  deep_clone=True, jump_len=1, jump_n_sample=1,
+                  q0_override_steps=20, enable_kevin_scaled_inference=True)
+        wave_rows = int(os.environ.get("WAVE_ROWS", str(ROWS)))
+        gen_bucket = -(-max(r.n_gen for r in batcher.completed) // 128) * 128
+
+        def to_nar(r, i):
+            l0 = (r.tokens[len(r.prompt):] - n_text).clip(0, 1023)
+            text_len = len(r.prompt) - prompt_codec.shape[-1]
+            return NarRequest(c_text=r.prompt[:text_len],
+                              c_codes=prompt_codec[0].T, l0_codes=l0, seed=i)
+
+        # warm/compile one wave shape
+        warm_sched = NarWaveScheduler(nar_q, nar_cfg, diff, 200, dsh,
+                                      wave_size=wave_rows,
+                                      gen_buckets=(gen_bucket,),
+                                      text_bucket=128)
+        for i in range(wave_rows):
+            warm_sched.submit(to_nar(batcher.completed[i % N_REQ], i))
+        warm_sched.flush()
+
+        sched = NarWaveScheduler(nar_q, nar_cfg, diff, 200, dsh,
+                                 wave_size=wave_rows,
+                                 gen_buckets=(gen_bucket,), text_bucket=128)
+        for i, r in enumerate(batcher.completed):
+            sched.submit(to_nar(r, i))
+        t1 = time.perf_counter()
+        done = sched.flush()
+        nar_wall = time.perf_counter() - t1
+        assert len(done) == N_REQ
+        detail.update({"nar_wall_s": round(nar_wall, 2),
+                       "nar_waves": sched.waves_run,
+                       "wave_rows": wave_rows,
+                       "nar_audio_s_per_s": round(audio_s / nar_wall, 3)})
+        system = audio_s / (wall + nar_wall)
+        print(json.dumps({
+            "metric": "continuous_system_throughput_audio_s_per_s",
+            "value": round(system, 3), "unit": "s/s/chip", "detail": detail}))
+        return
+
     print(json.dumps({
         "metric": "continuous_ar_throughput_audio_s_per_s",
         "value": round(audio_s / wall, 3),
         "unit": "s/s/chip",
-        "detail": {"requests": N_REQ, "rows": ROWS, "chunk_steps": CHUNK,
-                   "wall_s": round(wall, 2), "quanta": batcher.chunks_run,
-                   "frames": int(frames)},
+        "detail": detail,
     }))
 
 

@@ -112,17 +112,31 @@ def main():
     ref_tokens = ar_out["bf16"][1][len(prompt):]
 
     # --- NAR modes: latency + grid agreement vs bf16/T=200 (shared key) ----
+    from mars5_tts_tpu.models.vocos import codes_to_features
+
+    def vocos_proxy(grid, ref):
+        """Grid-free quality proxy: relative per-frame L2 in Vocos feature
+        space (the exact features the vocoder consumes — reduced-T rows
+        follow different trajectories, so token agreement is uninformative
+        for them; VERDICT r2 #8). 0 = identical audio input features."""
+        fa = np.asarray(codes_to_features(voc["codebook_weights"], grid[0].T))
+        fb = np.asarray(codes_to_features(voc["codebook_weights"], ref[0].T))
+        num = np.linalg.norm(fa - fb, axis=1)        # (B, T) per-frame L2
+        den = np.linalg.norm(fb, axis=1).mean()
+        return float(num.mean() / max(den, 1e-9))
+
     l0 = (ar_out["bf16"][1][len(prompt):] - n_text).clip(0, 1023)
     nar_stage(nar, l0, 200)                  # warm
     t_ref, ref_grid = nar_stage(nar, l0, 200)
-    nar_out = {"bf16_T200": (t_ref, 1.0)}
+    nar_out = {"bf16_T200": (t_ref, 1.0, 0.0)}
     for name, nar_p, T in [("int8_T200", nar_int8, 200),
                            ("int8_T100", nar_int8, 100),
                            ("int8_T50", nar_int8, 50)]:
         nar_stage(nar_p, l0, T)              # warm
         t_nar, grid = nar_stage(nar_p, l0, T)
         agree = float((grid[..., 1:] == ref_grid[..., 1:]).mean())
-        nar_out[name] = (t_nar, round(agree, 4))
+        nar_out[name] = (t_nar, round(agree, 4),
+                         round(vocos_proxy(grid, ref_grid), 4))
 
     modes = {}
     for ar_mode, (t_ar, tokens) in ar_out.items():
@@ -133,12 +147,13 @@ def main():
         # re-seeds the whole suffix, so the PREFIX length is the informative
         # divergence statistic; elementwise agreement is reported alongside
         first_div = int(mism[0]) if mism.size else len(gen)
-        for nar_mode, (t_nar, grid_agree) in nar_out.items():
+        for nar_mode, (t_nar, grid_agree, feat_l2) in nar_out.items():
             modes[f"{ar_mode}+{nar_mode}"] = {
                 "rtf": round((t_ar + t_nar + 0.2) / AUDIO_SECONDS, 3),
                 "ar_token_agree_vs_bf16": round(agree, 4),
                 "ar_first_divergence": first_div,
                 "nar_grid_agree_vs_bf16_T200": grid_agree,
+                "nar_vocos_feature_rel_l2": feat_l2,
             }
 
     print(json.dumps({"metric": "rtf_quality_modes", "unit": "s/s",
