@@ -48,7 +48,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NBUF = 4  # weight-chunk buffering depth (4 hides the int4 unpack; deeper is flat)
+import os
+
+NBUF = int(os.environ.get("MARS5_AR_NBUF", "4"))  # weight-chunk buffering depth
+# KV cache rows are DMA'd in prefix chunks of this many rows: whenever the ring
+# has not wrapped (pos < window — always true when window >= max_len+1, the
+# shipped configs), the valid slots are exactly [0, pos] and rows beyond pos
+# stay un-DMA'd VMEM garbage that the -inf slot-validity mask already excludes
+# (the KV stream shrinks ~2x on average over a generation). A wrapped pos >= W
+# falls back to copying every chunk. 0 disables chunking; w_pad must divide
+# evenly or chunking is dropped at make_dims time.
+KV_CHUNK = int(os.environ.get("MARS5_AR_KV_CHUNK", "256"))
 
 
 @dataclass(frozen=True)
@@ -63,6 +73,7 @@ class FusedDims:
     window: int         # ring window (logical)
     w_pad: int          # cache leading dim, window rounded up to 128
     wbits: int = 8      # backbone weight precision: 8 (int8) or 4 (nibble-packed)
+    kv_chunk: int = 0   # KV prefix-chunk rows (0 = whole-layer DMA)
 
     @property
     def fch(self) -> int:
@@ -150,18 +161,46 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
             return pltpu.make_async_copy(
                 scales_ref.at[chunk_idx], sbuf.at[slot], ssem.at[slot])
 
-        def kdma(l):
-            return pltpu.make_async_copy(ck_ref.at[l], kbuf, ksem)
+        # KV cache DMA in prefix chunks: only rows [0, pos] are valid ring
+        # slots (window >= max_len+1 in every shipped config, so no wrap; a
+        # wrapped pos >= W falls back to copying everything). Start/wait pairs
+        # are guarded by the SAME pos-dependent predicate, so semaphore
+        # signals and waits always match.
+        KVC = dims.kv_chunk
+        if KVC and Wp % KVC == 0 and Wp // KVC > 1:
+            kv_chunks = Wp // KVC
 
-        def vdma(l):
-            return pltpu.make_async_copy(cv_ref.at[l], vbuf, vsem)
+            def _kv_needed(c):
+                return jnp.logical_or(c * KVC <= pos, pos >= W)
+
+            def _kv_each(cache_ref, buf, sem, l, op):
+                for c in range(kv_chunks):
+                    @pl.when(_kv_needed(c))
+                    def _(c=c):
+                        cp = pltpu.make_async_copy(
+                            cache_ref.at[l, pl.ds(c * KVC, KVC)],
+                            buf.at[pl.ds(c * KVC, KVC)], sem)
+                        (cp.start if op == "start" else cp.wait)()
+        else:
+            kv_chunks = 1
+
+            def _kv_each(cache_ref, buf, sem, l, op):
+                cp = pltpu.make_async_copy(cache_ref.at[l], buf, sem)
+                (cp.start if op == "start" else cp.wait)()
+
+        def kv_start(l):
+            _kv_each(ck_ref, kbuf, ksem, l, "start")
+            _kv_each(cv_ref, vbuf, vsem, l, "start")
+
+        def kv_wait(l):
+            _kv_each(ck_ref, kbuf, ksem, l, "wait")
+            _kv_each(cv_ref, vbuf, vsem, l, "wait")
 
         # prologue: first NBUF weight chunks + layer-0 cache
         for i in range(NBUF):
             wdma_c(i, i, 0).start()
             sdma_c(i, i).start()
-        kdma(0).start()
-        vdma(0).start()
+        kv_start(0)
 
         h[:] = x_ref[:].astype(jnp.float32)
 
@@ -244,8 +283,7 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
                 # stream (7.9 -> 3.9 MB/layer/token).
                 wdma_c(3, slot, l).wait()
                 sdma_c(slot, i).wait()
-                kdma(l).wait()
-                vdma(l).wait()
+                kv_wait(l)
                 q = rope(qb[:])                     # (8, d), row 0 real
                 k_new = rope(kb[:])
                 knew_ref[l] = k_new[0:1].astype(knew_ref.dtype)
@@ -292,8 +330,7 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
                 # cache prefetch for the next layer (attention just released it)
                 @pl.when(l + 1 < L)
                 def _():
-                    kdma(l + 1).start()
-                    vdma(l + 1).start()
+                    kv_start(l + 1)
 
             @pl.when(c == 5)
             def _():
@@ -468,10 +505,12 @@ def _rope_flat(pos, dims: FusedDims):
 
 def make_dims(cfg, max_len: int, wbits: int = 8) -> FusedDims:
     window = min(cfg.sliding_window, max_len + 1)
+    w_pad = -(-window // 128) * 128
+    kv_chunk = KV_CHUNK if KV_CHUNK and w_pad % KV_CHUNK == 0 else 0
     return FusedDims(
         n_layers=cfg.n_layers, dim=cfg.dim, hidden=cfg.hidden_dim,
         n_heads=cfg.n_heads, head_dim=cfg.head_dim,
-        window=window, w_pad=-(-window // 128) * 128, wbits=wbits)
+        window=window, w_pad=w_pad, wbits=wbits, kv_chunk=kv_chunk)
 
 
 def build_fused_pack(params, cfg, dims: FusedDims):

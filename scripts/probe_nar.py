@@ -70,6 +70,10 @@ def main():
     t0 = time.perf_counter()
     run(0)  # warmup / compile
     compile_s = time.perf_counter() - t0
+    prof_dir = os.environ.get("MARS5_PROFILE")
+    if prof_dir:
+        with jax.profiler.trace(prof_dir):
+            run(99)
     ts = []
     for i in range(PROBE_RUNS):
         t0 = time.perf_counter()

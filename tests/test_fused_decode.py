@@ -70,6 +70,44 @@ def test_kernel_matches_emulation(setup, pos):
     np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_e), rtol=0, atol=1e-6)
 
 
+@pytest.mark.parametrize("pos", [5, 30, 70])  # chunk 0 only / wrap / mid-chunk
+def test_kernel_matches_emulation_kv_chunked(setup, pos):
+    """Prefix-chunked KV DMA (kv_chunk > 0): only chunks covering [0, pos]
+    are copied; un-DMA'd tail rows must be excluded by the validity mask.
+    pos=70 lands mid-chunk-1 with a wide window; pos=30 wraps the small ring
+    (full copy fallback predicate)."""
+    params, _, _ = setup
+    wide = CFG if pos >= 64 else None
+    if wide is not None:
+        # window > pos so the prefix case is exercised at a 2-chunk geometry
+        cfg2 = CodecLMConfig(n_vocab=512, dim=256, n_heads=4, n_kv_heads=4,
+                             head_dim=64, n_layers=3, hidden_dim=512,
+                             sliding_window=120, n_spk_layers=2,
+                             spk_hidden_dim=256)
+        params2 = init_codeclm(jax.random.PRNGKey(0), cfg2, dtype=jnp.bfloat16)
+        fp, dims = prepare_fused(params2, cfg2, max_len=126)
+        eps = cfg2.norm_eps
+    else:
+        fp, dims = prepare_fused(params, CFG, max_len=MAX_LEN)
+        eps = CFG.norm_eps
+    import dataclasses
+    dims = dataclasses.replace(dims, kv_chunk=64)
+    assert dims.w_pad % dims.kv_chunk == 0 and dims.w_pad // dims.kv_chunk > 1
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, dims.dim), jnp.bfloat16)
+    x = x.at[1:].set(0)
+    (ck, ks), (cv, vs) = _rand_cache(dims, 2), _rand_cache(dims, 3)
+    kvs = jnp.stack([ks, vs], axis=1)
+    p = jnp.int32(pos)
+    h_e, k_e, v_e = fused_step_emulation(fp, x, p, ck, cv, kvs, dims=dims,
+                                         norm_eps=eps)
+    h_k, k_k, v_k = fused_decode_layers(fp, x, p, ck, cv, kvs, dims=dims,
+                                        norm_eps=eps, interpret=True)
+    np.testing.assert_allclose(np.asarray(h_k), np.asarray(h_e), rtol=0, atol=1e-5)
+    # k rope noise grows ~1 ulp with pos magnitude (pre-quantization f32 rows)
+    np.testing.assert_allclose(np.asarray(k_k), np.asarray(k_e), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_e), rtol=0, atol=1e-5)
+
+
 @pytest.mark.parametrize("pos", [5, 30])
 def test_kernel_matches_emulation_w4(setup, pos):
     """int4 nibble-packed mode: interpret kernel == jnp emulation."""
