@@ -98,8 +98,117 @@ def encoder_layer(p, x, nhead: int, key_padding_mask=None):
     return x + swiglu_ff(p, h)
 
 
+def _use_nar_fused(p, x):
+    """Fused decoder-layer GEMM kernels (ops/pallas/nar_fused.py): W8A8 sites
+    on TPU at decoder-stack geometry. Same math as the unfused W8A8 path
+    (groups=1, ~2 bf16-ulp compiler-rounding differences only);
+    MARS5_NAR_FUSED=1 to enable (default pending TPU probe)."""
+    import os
+    if os.environ.get("MARS5_NAR_FUSED", "0") != "1":
+        return False
+    if isinstance(x, tuple):
+        return False
+    from ..ops.quant import is_quantized
+    if not (is_quantized(p["WV"]) and "a8" in p["WV"]):
+        return False
+    if x.shape[0] * x.shape[1] < _FUSED_QUANT_MIN_ROWS:
+        return False
+    from ..ops.pallas import enabled
+    return enabled()
+
+
+def _nar_fused_groups() -> int:
+    """Per-K-group activation-quant granularity for the fused kernels (quality
+    knob; 1 = per-row, bit-matching the unfused W8A8 path)."""
+    import os
+    return int(os.environ.get("MARS5_NARF_GROUPS", "1"))
+
+
+def _nar_fused_sites() -> frozenset:
+    """Which GEMM sites run fused (ablation knob for the TPU differential
+    probe): comma list from {qkv, saout, caq, caout, ffn}; default all."""
+    import os
+    v = os.environ.get("MARS5_NARF_SITES", "qkv,saout,caq,caout,ffn")
+    return frozenset(s.strip() for s in v.split(",") if s.strip())
+
+
+def decoder_layer_fused(p, x, memory, nhead: int, tgt_key_padding_mask=None,
+                        memory_key_padding_mask=None, interpret: bool = False):
+    """decoder_layer with every W8A8 GEMM site fused into a Pallas kernel.
+
+    Same math as ``decoder_layer`` (groups=1; compiler-rounding level): LN
+    prologues and
+    quant/rescale/residual epilogues run inside the GEMM programs; the SwiGLU
+    intermediate never leaves VMEM. Attention cores are unchanged (Pallas
+    flash self-attention, XLA cross-attention at tiny Lk).
+    """
+    from ..ops.norms import layer_norm
+    from ..ops.pallas.mha import sdpa_pallas
+    from ..ops.pallas.nar_fused import fused_linear, fused_ffn
+    from ..ops.quant import linear_any, slice_rows
+    from ..ops.attention import sdpa
+
+    g = _nar_fused_groups()
+    sites = _nar_fused_sites()
+    b, l, d = x.shape
+    hd = d // nhead
+    if "qkv" in sites:
+        qkv = fused_linear(x, p["sa_in_w"], ln=(p["norm1_w"], p["norm1_b"]),
+                           bias=p["sa_in_b"], eps=LAYERNORM_EPS, groups=g,
+                           interpret=interpret)
+        q = qkv[..., :d].reshape(b, l, nhead, hd)
+        k = qkv[..., d:2 * d].reshape(b, l, nhead, hd)
+        v = qkv[..., 2 * d:].reshape(b, l, nhead, hd)
+    else:
+        h = layer_norm(x, p["norm1_w"], p["norm1_b"], LAYERNORM_EPS)
+        qkv = linear_any(h, p["sa_in_w"], p["sa_in_b"])     # (B, L, 3, D)
+        q = qkv[..., 0, :].reshape(b, l, nhead, hd)
+        k = qkv[..., 1, :].reshape(b, l, nhead, hd)
+        v = qkv[..., 2, :].reshape(b, l, nhead, hd)
+    a = sdpa_pallas(q, k, v, tgt_key_padding_mask, interpret=interpret)
+    a = a.reshape(b, l, d)
+    if "saout" in sites:
+        x = fused_linear(a, p["sa_out_w"], bias=p["sa_out_b"], residual=x,
+                         groups=g, interpret=interpret)
+    else:
+        x = x + linear_any(a, p["sa_out_w"], p["sa_out_b"])
+
+    if "caq" in sites:
+        hq = fused_linear(x, slice_rows(p["ca_in_w"], slice(0, 1)),
+                          ln=(p["norm2_w"], p["norm2_b"]), bias=p["ca_in_b"][:1],
+                          eps=LAYERNORM_EPS, groups=g, interpret=interpret)
+    else:
+        h = layer_norm(x, p["norm2_w"], p["norm2_b"], LAYERNORM_EPS)
+        hq = linear_any(h, slice_rows(p["ca_in_w"], 0), p["ca_in_b"][0])
+    kv = linear_any(memory, slice_rows(p["ca_in_w"], slice(1, None)),
+                    p["ca_in_b"][1:])                       # (B, Lk, 2, D)
+    lk = kv.shape[1]
+    ck = kv[..., 0, :].reshape(b, lk, nhead, hd)
+    cv = kv[..., 1, :].reshape(b, lk, nhead, hd)
+    mask = None
+    if memory_key_padding_mask is not None:
+        mask = ~memory_key_padding_mask[:, None, None, :]
+    ca = sdpa(hq.reshape(b, l, nhead, hd), ck, cv, mask)
+    ca = ca.reshape(b, l, d)
+    if "caout" in sites:
+        x = fused_linear(ca, p["ca_out_w"], bias=p["ca_out_b"], residual=x,
+                         groups=g, interpret=interpret)
+    else:
+        x = x + linear_any(ca, p["ca_out_w"], p["ca_out_b"])
+
+    if "ffn" in sites:
+        return fused_ffn(x, p["norm3_w"], p["norm3_b"], p["WV"], p["lin2_w"],
+                         p["lin2_b"], eps=LAYERNORM_EPS, groups=g,
+                         interpret=interpret)
+    h = layer_norm(x, p["norm3_w"], p["norm3_b"], LAYERNORM_EPS)
+    return x + swiglu_ff(p, h)
+
+
 def decoder_layer(p, x, memory, nhead: int, tgt_key_padding_mask=None,
                   memory_key_padding_mask=None):
+    if _use_nar_fused(p, x):
+        return decoder_layer_fused(p, x, memory, nhead, tgt_key_padding_mask,
+                                   memory_key_padding_mask)
     h = _norm_quant(x, p["norm1_w"], p["norm1_b"], p["sa_in_w"])
     x = x + torch_mha(
         {"in_proj_w": p["sa_in_w"], "in_proj_b": p["sa_in_b"],

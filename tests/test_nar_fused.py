@@ -1,0 +1,176 @@
+"""Fused NAR decoder-layer GEMM kernels (ops/pallas/nar_fused.py).
+
+Contract under test: at groups=1 every fused site computes the SAME chain as
+the unfused W8A8 path (exact int8 dots; LN/quant replicate the bf16
+round-trips). Outputs may differ only where compiler fusion (FMA) flips a
+borderline f32 rounding — bounded to ~2 bf16 ulp with the overwhelming
+majority of elements exactly equal. Grouped activation quant matches its jnp
+emulation and is at least as accurate as per-row quant vs the fp32 reference.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mars5_tts_tpu.models.layers import (LAYERNORM_EPS, decoder_layer,
+                                         decoder_layer_fused)
+from mars5_tts_tpu.ops.norms import layer_norm
+from mars5_tts_tpu.ops.quant import linear_any, quantize_weight, slice_rows
+
+
+def _assert_fused_eq(got, want, exact_frac=0.95):
+    """Equal up to compiler-fusion rounding: tiny bounded diffs, mostly exact."""
+    g = np.asarray(got, np.float32)
+    w = np.asarray(want, np.float32)
+    scale = max(np.abs(w).max(), 1.0)
+    np.testing.assert_allclose(g, w, rtol=0, atol=0.02 * scale)
+    assert (g == w).mean() > exact_frac
+    assert np.abs(g - w).mean() < 2e-3 * scale
+
+
+def _qd(w, stacked=False):
+    q, s = quantize_weight(jnp.asarray(w), axis=-1)
+    return {"q": q, "s": s, "a8": jnp.zeros(q.shape[:-2] if q.ndim > 2 else ())}
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+@pytest.fixture(scope="module")
+def layer(rng):
+    """One W8A8 decoder layer at tiny-but-tileable geometry."""
+    d, f, lk = 256, 384, 32
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.05)
+    p = {
+        "norm1_w": mk(d) + 1, "norm1_b": mk(d),
+        "norm2_w": mk(d) + 1, "norm2_b": mk(d),
+        "norm3_w": mk(d) + 1, "norm3_b": mk(d),
+        "sa_in_w": _qd(rng.standard_normal((3, d, d)) * 0.05),
+        "sa_in_b": mk(3, d),
+        "sa_out_w": _qd(rng.standard_normal((d, d)) * 0.05),
+        "sa_out_b": mk(d),
+        "ca_in_w": _qd(rng.standard_normal((3, d, d)) * 0.05),
+        "ca_in_b": mk(3, d),
+        "ca_out_w": _qd(rng.standard_normal((d, d)) * 0.05),
+        "ca_out_b": mk(d),
+        "WV": _qd(rng.standard_normal((2 * f, d)) * 0.05),
+        "lin2_w": _qd(rng.standard_normal((d, f)) * 0.05),
+        "lin2_b": mk(d),
+    }
+    x = jnp.asarray(rng.standard_normal((2, 96, d)).astype(np.float32),
+                    jnp.bfloat16)
+    memory = jnp.asarray(rng.standard_normal((2, lk, d)).astype(np.float32),
+                         jnp.bfloat16)
+    return p, x, memory
+
+
+def test_fused_linear_ln_bitwise(layer):
+    from mars5_tts_tpu.ops.pallas.nar_fused import fused_linear
+
+    p, x, _ = layer
+    got = fused_linear(x, p["sa_in_w"], ln=(p["norm1_w"], p["norm1_b"]),
+                       bias=p["sa_in_b"], eps=LAYERNORM_EPS, bm=64,
+                       interpret=True)
+    h = layer_norm(x, p["norm1_w"], p["norm1_b"], LAYERNORM_EPS)
+    want = linear_any(h, p["sa_in_w"], p["sa_in_b"])  # (B, L, 3, D)
+    want = want.reshape(want.shape[0], want.shape[1], -1)
+    _assert_fused_eq(got, want)
+
+
+def test_fused_linear_residual_bitwise(layer):
+    from mars5_tts_tpu.ops.pallas.nar_fused import fused_linear
+
+    p, x, _ = layer
+    a = (x * jnp.bfloat16(0.5))[..., :256]
+    got = fused_linear(a, p["sa_out_w"], bias=p["sa_out_b"], residual=x,
+                       bm=64, interpret=True)
+    want = x + linear_any(a, p["sa_out_w"], p["sa_out_b"])
+    _assert_fused_eq(got, want)
+
+
+def test_fused_linear_crossq_bitwise(layer):
+    from mars5_tts_tpu.ops.pallas.nar_fused import fused_linear
+
+    p, x, _ = layer
+    got = fused_linear(x, slice_rows(p["ca_in_w"], slice(0, 1)),
+                       ln=(p["norm2_w"], p["norm2_b"]), bias=p["ca_in_b"][:1],
+                       eps=LAYERNORM_EPS, bm=64, interpret=True)
+    h = layer_norm(x, p["norm2_w"], p["norm2_b"], LAYERNORM_EPS)
+    want = linear_any(h, slice_rows(p["ca_in_w"], 0), p["ca_in_b"][0])
+    _assert_fused_eq(got, want)
+
+
+def test_fused_ffn_bitwise(layer):
+    from mars5_tts_tpu.models.layers import swiglu_ff
+    from mars5_tts_tpu.ops.pallas.nar_fused import fused_ffn
+
+    p, x, _ = layer
+    got = fused_ffn(x, p["norm3_w"], p["norm3_b"], p["WV"], p["lin2_w"],
+                    p["lin2_b"], eps=LAYERNORM_EPS, bm=64, interpret=True)
+    h = layer_norm(x, p["norm3_w"], p["norm3_b"], LAYERNORM_EPS)
+    want = x + swiglu_ff(p, h)
+    # two chained quant-GEMMs + silu: borderline roundings compound, so the
+    # exactly-equal fraction is lower than at the single-GEMM sites
+    _assert_fused_eq(got, want, exact_frac=0.4)
+
+
+@pytest.mark.parametrize("groups", [2, 4])
+def test_grouped_matches_emulation(layer, groups):
+    from mars5_tts_tpu.ops.pallas.nar_fused import (fused_ffn, fused_ffn_ref,
+                                                    fused_linear,
+                                                    fused_linear_ref)
+
+    p, x, _ = layer
+    got = fused_linear(x, p["sa_in_w"], ln=(p["norm1_w"], p["norm1_b"]),
+                       bias=p["sa_in_b"], eps=LAYERNORM_EPS, groups=groups,
+                       bm=64, interpret=True)
+    want = fused_linear_ref(x, p["sa_in_w"], ln=(p["norm1_w"], p["norm1_b"]),
+                            bias=p["sa_in_b"], eps=LAYERNORM_EPS, groups=groups)
+    _assert_fused_eq(got, want)
+
+    got = fused_ffn(x, p["norm3_w"], p["norm3_b"], p["WV"], p["lin2_w"],
+                    p["lin2_b"], eps=LAYERNORM_EPS, groups=groups, bm=64,
+                    interpret=True)
+    want = fused_ffn_ref(x, p["norm3_w"], p["norm3_b"], p["WV"], p["lin2_w"],
+                         p["lin2_b"], eps=LAYERNORM_EPS, groups=groups)
+    _assert_fused_eq(got, want, exact_frac=0.4)
+
+
+def test_grouped_quant_tighter_than_per_row(layer):
+    """Per-K-group act scales should not be less accurate than per-row."""
+    from mars5_tts_tpu.ops.pallas.nar_fused import fused_linear, fused_linear_ref
+
+    p, x, _ = layer
+    h = layer_norm(x, p["norm1_w"], p["norm1_b"], LAYERNORM_EPS)
+    wq, ws = p["sa_in_w"]["q"].reshape(-1, 256), p["sa_in_w"]["s"].reshape(-1)
+    exact = (h.astype(jnp.float32).reshape(-1, 256)
+             @ (wq.astype(jnp.float32) * ws[:, None]).T)
+    errs = {}
+    for g in (1, 4):
+        y = fused_linear(x, p["sa_in_w"], ln=(p["norm1_w"], p["norm1_b"]),
+                         eps=LAYERNORM_EPS, groups=g, bm=64, interpret=True)
+        y = np.asarray(y, np.float32).reshape(-1, 3 * 256)
+        errs[g] = np.abs(y - np.asarray(exact)).mean()
+    assert errs[4] <= errs[1] * 1.05
+
+
+def test_decoder_layer_fused_matches_unfused(layer):
+    """Whole layer: fused == unfused up to the attention softmax impl (the
+    Pallas flash kernel's exp2/deferred-normalization vs XLA softmax)."""
+    p, x, memory = layer
+    kpm = jnp.zeros((2, 96), bool)
+    mpm = jnp.zeros((2, 32), bool)
+    want = decoder_layer(p, x, memory, nhead=4, tgt_key_padding_mask=kpm,
+                         memory_key_padding_mask=mpm)
+    got = decoder_layer_fused(p, x, memory, nhead=4, tgt_key_padding_mask=kpm,
+                              memory_key_padding_mask=mpm, interpret=True)
+    w = np.asarray(want, np.float32)
+    g = np.asarray(got, np.float32)
+    np.testing.assert_allclose(g, w, atol=0.02 * np.abs(w).max(), rtol=0)
+    assert np.abs(g - w).mean() < 2e-3 * np.abs(w).max()
+    cos = (g * w).sum() / (np.linalg.norm(g) * np.linalg.norm(w))
+    assert cos > 0.9999
