@@ -26,12 +26,14 @@ import numpy as np
 from ..ops.pallas import enabled as pallas_enabled
 from ..ops.pallas.decode_layer import (FusedDims, build_fused_pack,
                                        fused_decode_layers,
-                                       fused_step_emulation, make_dims,
+                                       fused_step_emulation,
+                                       fused_step_emulation_batched, make_dims,
                                        quantize_kv_rows)
 from ..ops.quant import quantize_weight, linear_q8
 from ..ops.norms import rms_norm
 from .ar import CodecLMConfig, codeclm_prefill, spk_embedding
-from .ar_decode import ArSampling, _sample_and_update, DecodeState
+from .ar_decode import (ArSampling, RowSampling, _sample_and_update,
+                        DecodeState, _bucket)
 
 
 class FusedState(NamedTuple):
@@ -47,15 +49,18 @@ class FusedState(NamedTuple):
     done: jax.Array        # (1,)
 
 
-def prepare_fused(params, cfg: CodecLMConfig, max_len: int, wbits: int = 8):
+def prepare_fused(params, cfg: CodecLMConfig, max_len: int, wbits: int = 8,
+                  batch: int = 1):
     """Build the decode-time bundle: quantized pack + head + embed/norm.
 
     ``params`` are the raw (bf16) CodecLM params; returns (bundle, dims).
     ``wbits``: backbone weight precision — 8 (default, W8A8) or 4
     (nibble-packed int4 weights, halves the dominant weight stream; quality
     characterized in tests/test_quant.py + scripts/bench_quality_modes.py).
+    ``batch``: decode rows per kernel step (<= 8) — batched serving amortizes
+    the weight stream over the rows; the pack itself is batch-independent.
     """
-    dims = make_dims(cfg, max_len, wbits=wbits)
+    dims = make_dims(cfg, max_len, wbits=wbits, batch=batch)
     fp = build_fused_pack(params, cfg, dims)
     hq, hs = quantize_weight(params["ar"]["output"], axis=-1)
     fp["head_q"], fp["head_s"] = hq, hs.astype(jnp.float32)
@@ -171,3 +176,154 @@ def ar_generate_fused(params, fp, cfg: CodecLMConfig, dims: FusedDims, prompt,
         uniforms, est, interpret=interpret)
     tokens = np.asarray(tokens)
     return tokens[0, : int(final_len[0])], int(n_gen[0])
+
+
+# ---------------------------------------------------------------------------
+# batched fused decode (dims.batch rows per kernel step)
+
+def _fused_backbone_step_batched(fp, dims: FusedDims, cfg: CodecLMConfig,
+                                 tokens, pos_vec, cache_k, cache_v, kv_scales,
+                                 interpret):
+    """B-token forward: embed -> batched megakernel -> final norm -> int8 head.
+
+    tokens/pos_vec: (B,) int32. Caches are layer-flat batched:
+    cache_k/v (L, B, Wp, d) int8, kv_scales (L, 2B, Wp) f32.
+    """
+    B = dims.batch
+    L, Wp, d = dims.n_layers, dims.w_pad, dims.dim
+    x = fp["embed"][tokens].astype(jnp.bfloat16)            # (B, d)
+    x = jnp.concatenate([x, jnp.zeros((8 - B, d), jnp.bfloat16)], axis=0)
+    if interpret is None:  # pure-jnp emulation (CPU test oracle)
+        h, k_new, v_new = fused_step_emulation_batched(
+            fp, x, pos_vec, cache_k, cache_v, kv_scales, dims=dims,
+            norm_eps=cfg.norm_eps)
+    else:
+        h, k_new, v_new = fused_decode_layers(
+            fp, x, pos_vec, cache_k, cache_v, kv_scales, dims=dims,
+            norm_eps=cfg.norm_eps, interpret=interpret)
+    h = rms_norm(h[:B].astype(jnp.bfloat16), fp["final_norm"], cfg.norm_eps)
+    logits = linear_q8(h, fp["head_q"], fp["head_s"]).astype(jnp.float32)
+    slot = jnp.mod(pos_vec, dims.window)                    # (B,)
+    k8, ks_new = quantize_kv_rows(k_new[:, :B])             # (L, B, d), (L, B)
+    v8, vs_new = quantize_kv_rows(v_new[:, :B])
+    flat = jnp.arange(B) * Wp + slot
+    cache_k = (cache_k.reshape(L, B * Wp, d)
+               .at[:, flat].set(k8, unique_indices=True).reshape(L, B, Wp, d))
+    cache_v = (cache_v.reshape(L, B * Wp, d)
+               .at[:, flat].set(v8, unique_indices=True).reshape(L, B, Wp, d))
+    sidx = jnp.concatenate([flat, B * Wp + flat])           # K rows then V rows
+    svals = jnp.concatenate([ks_new, vs_new], axis=1)       # (L, 2B)
+    kv_scales = (kv_scales.reshape(L, 2 * B * Wp)
+                 .at[:, sidx].set(svals, unique_indices=True)
+                 .reshape(L, 2 * B, Wp))
+    return logits, cache_k, cache_v, kv_scales
+
+
+def _fused_body_batched(fp, dims, cfg, s: ArSampling, st: FusedState,
+                        rows, interpret) -> FusedState:
+    bs = st.cur.shape[0]
+    b_idx = jnp.arange(bs)
+    last_tok = st.tokens[b_idx, (st.cur - 1).clip(0)]       # (B,)
+    logits, ck, cv, kvs = _fused_backbone_step_batched(
+        fp, dims, cfg, last_tok, st.cur, st.cache_k, st.cache_v,
+        st.kv_scales, interpret)
+    st = st._replace(cache_k=ck, cache_v=cv, kv_scales=kvs)
+    return _sample_and_update(logits, st, s, rows)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dims", "s", "interpret"))
+def _generate_fused_batched_jit(params, fp, cfg: CodecLMConfig,
+                                dims: FusedDims, s: ArSampling, prompt_padded,
+                                prompt_len, spk_codes, uniforms, est_len,
+                                active, rows: RowSampling | None = None,
+                                interpret=False):
+    B = dims.batch
+    L, Wp, d = dims.n_layers, dims.w_pad, dims.dim
+    # ---- prefill through the bf16 XLA graph (one pass, batched matmuls) ----
+    spk_vec = spk_embedding(params, cfg, spk_codes)
+    all_logits, kvs = codeclm_prefill(params, cfg, prompt_padded, spk_vec)
+    k_full, v_full = kvs                     # (L, B, Pb+1, H, D)
+    pb = prompt_padded.shape[1]
+    k_flat = k_full.reshape(L, B, pb + 1, d)
+    v_flat = v_full.reshape(L, B, pb + 1, d)
+    k8, ks = quantize_kv_rows(k_flat)        # (L, B, Pb+1, d), (L, B, Pb+1)
+    v8, vs = quantize_kv_rows(v_flat)
+    cache_k = jnp.zeros((L, B, Wp, d), jnp.int8).at[:, :, : pb + 1].set(k8)
+    cache_v = jnp.zeros((L, B, Wp, d), jnp.int8).at[:, :, : pb + 1].set(v8)
+    kv_scales = jnp.zeros((L, 2 * B, Wp), jnp.float32)
+    kv_scales = kv_scales.at[:, :B, : pb + 1].set(ks)
+    kv_scales = kv_scales.at[:, B:, : pb + 1].set(vs)
+
+    last_logits = jnp.take_along_axis(
+        all_logits, prompt_len[:, None, None], axis=1)[:, 0].astype(jnp.float32)
+
+    tokens = jnp.zeros((B, s.max_len), jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(
+        tokens, prompt_padded.astype(jnp.int32), (0, 0))
+    st = FusedState(
+        tokens=tokens, cur=prompt_len.astype(jnp.int32),
+        n_gen=jnp.zeros((B,), jnp.int32), cache_k=cache_k, cache_v=cache_v,
+        kv_scales=kv_scales,
+        counts=jnp.zeros((B, cfg.n_vocab), jnp.int32), uniforms=uniforms,
+        est_len=est_len.astype(jnp.int32), done=~active)
+    st = _sample_and_update(last_logits, st, s, rows)
+
+    final = jax.lax.while_loop(
+        lambda t: ~jnp.all(t.done),
+        lambda t: _fused_body_batched(fp, dims, cfg, s, t, rows, interpret),
+        st)
+    return final.tokens, final.cur, final.n_gen
+
+
+def ar_generate_fused_batched(params, fp, cfg: CodecLMConfig, dims: FusedDims,
+                              prompts, spk_codes_list, *,
+                              sampling: ArSampling, uniforms=None,
+                              seed: int = 0, est_lens=None, rows=None,
+                              interpret=False):
+    """Batched generation via the fused int8/int4 decode kernel.
+
+    The kernel processes ``dims.batch`` rows per step on the same 8-row
+    sublane block the bs=1 path already pads to, so the B-fold amortization of
+    the dominant weight stream is nearly free; only attention and the KV
+    stream scale with B. API mirrors models/ar_decode.ar_generate_batched;
+    ``len(prompts)`` must be <= dims.batch (short batches are padded with
+    parked rows).
+    """
+    B = dims.batch
+    n = len(prompts)
+    if n > B:
+        raise ValueError(f"{n} prompts > kernel batch {B}")
+    window = dims.window
+    max_p = max(len(p) for p in prompts)
+    if max_p + 1 > window:
+        raise ValueError(f"prompt length {max_p} exceeds window {window}")
+    pb = min(_bucket(max_p), window - 1)
+    prompt_padded = np.zeros((B, pb), np.int32)
+    prompt_len = np.zeros((B,), np.int32)
+    for i, p in enumerate(prompts):
+        prompt_padded[i, : len(p)] = np.asarray(p, np.int32)
+        prompt_len[i] = len(p)
+
+    max_s = max(c.shape[0] for c in spk_codes_list)
+    sb = _bucket(max_s, 16)
+    spk = np.full((B, sb, 8), cfg.codebook_size - 1, np.int32)  # pad idx 1024
+    for i, c in enumerate(spk_codes_list):
+        spk[i, : c.shape[0]] = np.asarray(c, np.int32)
+
+    if uniforms is None:
+        uniforms = jax.random.uniform(jax.random.PRNGKey(seed),
+                                      (sampling.max_len, B))
+    else:
+        uniforms = jnp.asarray(uniforms, jnp.float32)
+    est = np.full((B,), sampling.n_phones_gen, np.int32)
+    if est_lens is not None:
+        est[:n] = np.asarray(est_lens, np.int32)
+    active = jnp.asarray(np.arange(B) < n)
+    tokens, final_len, n_gen = _generate_fused_batched_jit(
+        params, fp, cfg, dims, sampling, jnp.asarray(prompt_padded),
+        jnp.asarray(prompt_len), jnp.asarray(spk), uniforms,
+        jnp.asarray(est), active, rows, interpret=interpret)
+    tokens = np.asarray(tokens)
+    final_len = np.asarray(final_len)
+    n_gen = np.asarray(n_gen)
+    return [(tokens[i, : final_len[i]], int(n_gen[i])) for i in range(n)]

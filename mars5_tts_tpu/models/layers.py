@@ -101,10 +101,11 @@ def encoder_layer(p, x, nhead: int, key_padding_mask=None):
 def _use_nar_fused(p, x):
     """Fused decoder-layer GEMM kernels (ops/pallas/nar_fused.py): W8A8 sites
     on TPU at decoder-stack geometry. Same math as the unfused W8A8 path
-    (groups=1, ~2 bf16-ulp compiler-rounding differences only);
-    MARS5_NAR_FUSED=1 to enable (default pending TPU probe)."""
+    (groups=1, ~2 bf16-ulp compiler-rounding differences only). Default ON
+    (v5e ablation: 12.18 -> 11.45 ms/step with the default site set);
+    MARS5_NAR_FUSED=0 to disable."""
     import os
-    if os.environ.get("MARS5_NAR_FUSED", "0") != "1":
+    if os.environ.get("MARS5_NAR_FUSED", "1") != "1":
         return False
     if isinstance(x, tuple):
         return False
@@ -126,9 +127,13 @@ def _nar_fused_groups() -> int:
 
 def _nar_fused_sites() -> frozenset:
     """Which GEMM sites run fused (ablation knob for the TPU differential
-    probe): comma list from {qkv, saout, caq, caout, ffn}; default all."""
+    probe): comma list from {qkv, saout, caq, caout, ffn}. Default = the
+    v5e-measured winners (qkv -0.46, ffn -0.50, caq -0.15 ms/step; saout/caout
+    measured NEGATIVE: +0.64 ms/step fusing the out-projections, their
+    residual-add epilogue beats Mosaic's rates only at the LN-prologue
+    sites — see /tmp ablation logs, recorded in CLAUDE.md)."""
     import os
-    v = os.environ.get("MARS5_NARF_SITES", "qkv,saout,caq,caout,ffn")
+    v = os.environ.get("MARS5_NARF_SITES", "qkv,caq,ffn")
     return frozenset(s.strip() for s in v.split(",") if s.strip())
 
 

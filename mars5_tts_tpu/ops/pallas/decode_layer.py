@@ -74,6 +74,9 @@ class FusedDims:
     w_pad: int          # cache leading dim, window rounded up to 128
     wbits: int = 8      # backbone weight precision: 8 (int8) or 4 (nibble-packed)
     kv_chunk: int = 0   # KV prefix-chunk rows (0 = whole-layer DMA)
+    batch: int = 1      # decode rows per step (<= 8: rides the sublane tile
+                        # the GEMM stages already process; only attention and
+                        # the KV stream scale with batch)
 
     @property
     def fch(self) -> int:
@@ -139,6 +142,7 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
     n_steps = L * 10
     scale = 1.0 / (Dh ** 0.5)
     W4 = dims.wbits == 4
+    B = dims.batch
 
     def kernel(pos_ref, x_ref, cosf_ref, sinf_ref, hmask_ref,
                pack_ref, scales_ref, w2s_ref, attn_n_ref, ffn_n_ref,
@@ -147,8 +151,10 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
                wbuf, sbuf, kbuf, vbuf,
                h, qb, kb, vb, w1b, w3b, uq, us, acc,
                wsem, ssem, ksem, vsem):
-        pos = pos_ref[0, 0]
-        cur_slot = jax.lax.rem(pos, W)
+        if B == 1:
+            pos = pos_ref[0, 0]
+        else:
+            poss = [pos_ref[0, b] for b in range(B)]
 
         def wdma_c(c_static, slot, l):
             off = l * RPL + offs[c_static]
@@ -170,23 +176,39 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
         if KVC and Wp % KVC == 0 and Wp // KVC > 1:
             kv_chunks = Wp // KVC
 
-            def _kv_needed(c):
-                return jnp.logical_or(c * KVC <= pos, pos >= W)
+            def _kv_needed(c, b=0):
+                p = pos if B == 1 else poss[b]
+                return jnp.logical_or(c * KVC <= p, p >= W)
 
             def _kv_each(cache_ref, buf, sem, l, op):
                 for c in range(kv_chunks):
-                    @pl.when(_kv_needed(c))
-                    def _(c=c):
-                        cp = pltpu.make_async_copy(
-                            cache_ref.at[l, pl.ds(c * KVC, KVC)],
-                            buf.at[pl.ds(c * KVC, KVC)], sem)
-                        (cp.start if op == "start" else cp.wait)()
+                    if B == 1:
+                        @pl.when(_kv_needed(c))
+                        def _(c=c):
+                            cp = pltpu.make_async_copy(
+                                cache_ref.at[l, pl.ds(c * KVC, KVC)],
+                                buf.at[pl.ds(c * KVC, KVC)], sem)
+                            (cp.start if op == "start" else cp.wait)()
+                    else:
+                        for b in range(B):
+                            @pl.when(_kv_needed(c, b))
+                            def _(c=c, b=b):
+                                cp = pltpu.make_async_copy(
+                                    cache_ref.at[l, b, pl.ds(c * KVC, KVC)],
+                                    buf.at[b, pl.ds(c * KVC, KVC)], sem)
+                                (cp.start if op == "start" else cp.wait)()
         else:
             kv_chunks = 1
 
             def _kv_each(cache_ref, buf, sem, l, op):
-                cp = pltpu.make_async_copy(cache_ref.at[l], buf, sem)
-                (cp.start if op == "start" else cp.wait)()
+                if B == 1:
+                    cp = pltpu.make_async_copy(cache_ref.at[l], buf, sem)
+                    (cp.start if op == "start" else cp.wait)()
+                else:
+                    for b in range(B):
+                        cp = pltpu.make_async_copy(
+                            cache_ref.at[l, b], buf.at[b], sem)
+                        (cp.start if op == "start" else cp.wait)()
 
         def kv_start(l):
             _kv_each(ck_ref, kbuf, ksem, l, "start")
@@ -207,8 +229,15 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
         # ring-slot validity, shared across layers: slot s holds position
         # pos - ((pos - s) mod W); negative = unwritten. Slots >= W are padding.
         slots = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
-        slot_pos = pos - jax.lax.rem(pos - slots + 4 * W, W)
-        valid = (slot_pos >= 0) & (slots < W) & (slots != cur_slot)  # (1, Wp)
+
+        def _valid_for(p):
+            sp = p - jax.lax.rem(p - slots + 4 * W, W)
+            return (sp >= 0) & (slots < W) & (slots != jax.lax.rem(p, W))
+
+        if B == 1:
+            valid = _valid_for(pos)                              # (1, Wp)
+        else:
+            valid_rows = [_valid_for(p) for p in poss]           # B x (1, Wp)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, d), 1)
         first_half = jax.lax.rem(lane, Dh) < (Dh // 2)
@@ -284,37 +313,56 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
                 wdma_c(3, slot, l).wait()
                 sdma_c(slot, i).wait()
                 kv_wait(l)
-                q = rope(qb[:])                     # (8, d), row 0 real
+                q = rope(qb[:])                     # (8, d), rows [0, B) real
                 k_new = rope(kb[:])
-                knew_ref[l] = k_new[0:1].astype(knew_ref.dtype)
-                vnew_ref[l] = vb[0:1].astype(vnew_ref.dtype)
-                qflat = q[0:1]                      # (1, d)
-                qmat_t = hmask_ref[:] * qflat       # (H, d)
-                qm8, qms = _quant_rows(qmat_t)
-                ks = kvs_ref[l, 0:1, :]             # (1, Wp) per-key k scales
-                vs = kvs_ref[l, 1:2, :]             # (1, Wp) per-key v scales
-                scores_t = jax.lax.dot_general(
-                    qm8, kbuf[:], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32
-                ).astype(jnp.float32) * qms * ks * scale         # (H, Wp)
-                scores_t = jnp.where(valid, scores_t, -jnp.inf)
-                self_s = jnp.sum(qmat_t * k_new[0:1], axis=-1,
-                                 keepdims=True) * scale          # (H, 1)
-                m = jnp.maximum(jnp.max(scores_t, axis=-1, keepdims=True), self_s)
-                p_t = jnp.exp(scores_t - m)
-                p_self = jnp.exp(self_s - m)
-                denom = jnp.sum(p_t, axis=-1, keepdims=True) + p_self  # (H, 1)
-                pv8, ps = _quant_rows(p_t * vs)
-                out_all = jax.lax.dot_general(
-                    pv8, vbuf[:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32
-                ).astype(jnp.float32) * ps                       # (H, d)
-                fold = jnp.sum(out_all / denom * hmask_ref[:], axis=0,
-                               keepdims=True)                    # (1, d)
-                self_contrib = jnp.sum(hmask_ref[:] * (p_self / denom), axis=0,
-                                       keepdims=True) * vb[0:1]
-                attn = fold + self_contrib                       # (1, d)
-                a8, ascale = _quant_rows(jnp.broadcast_to(attn, (8, d)))
+
+                def attn_one(qrow, knew_row, vrow, kmat, vmat, ks, vs, vmask):
+                    """One row's ring attention: (1, d) out via the mask-fold."""
+                    qmat_t = hmask_ref[:] * qrow    # (H, d)
+                    qm8, qms = _quant_rows(qmat_t)
+                    scores_t = jax.lax.dot_general(
+                        qm8, kmat, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32
+                    ).astype(jnp.float32) * qms * ks * scale     # (H, Wp)
+                    scores_t = jnp.where(vmask, scores_t, -jnp.inf)
+                    self_s = jnp.sum(qmat_t * knew_row, axis=-1,
+                                     keepdims=True) * scale      # (H, 1)
+                    m = jnp.maximum(jnp.max(scores_t, axis=-1, keepdims=True),
+                                    self_s)
+                    p_t = jnp.exp(scores_t - m)
+                    p_self = jnp.exp(self_s - m)
+                    denom = jnp.sum(p_t, axis=-1, keepdims=True) + p_self
+                    pv8, ps = _quant_rows(p_t * vs)
+                    out_all = jax.lax.dot_general(
+                        pv8, vmat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32
+                    ).astype(jnp.float32) * ps                   # (H, d)
+                    fold = jnp.sum(out_all / denom * hmask_ref[:], axis=0,
+                                   keepdims=True)                # (1, d)
+                    return fold + jnp.sum(
+                        hmask_ref[:] * (p_self / denom), axis=0,
+                        keepdims=True) * vrow
+
+                if B == 1:
+                    knew_ref[l] = k_new[0:1].astype(knew_ref.dtype)
+                    vnew_ref[l] = vb[0:1].astype(vnew_ref.dtype)
+                    attn = attn_one(q[0:1], k_new[0:1], vb[0:1], kbuf[:],
+                                    vbuf[:], kvs_ref[l, 0:1, :],
+                                    kvs_ref[l, 1:2, :], valid)
+                    a8, ascale = _quant_rows(jnp.broadcast_to(attn, (8, d)))
+                else:
+                    # per-row attention vs the row's own cache; results land in
+                    # the (dead) qb scratch, pad rows zeroed
+                    knew_ref[l] = k_new.astype(knew_ref.dtype)
+                    vnew_ref[l] = vb[:].astype(vnew_ref.dtype)
+                    qb[:] = jnp.zeros((8, d), jnp.float32)
+                    for b in range(B):
+                        qb[b:b + 1] = attn_one(
+                            q[b:b + 1], k_new[b:b + 1], vb[b:b + 1],
+                            kbuf[b], vbuf[b],
+                            kvs_ref[l, b:b + 1, :],
+                            kvs_ref[l, B + b:B + b + 1, :], valid_rows[b])
+                    a8, ascale = _quant_rows(qb[:])
                 h[:] += dot_rows(a8, ascale, d)
 
             def stage_ffn_in(c_static, dest, lane_off):
@@ -406,25 +454,37 @@ def fused_decode_layers(fp, x, pos, cache_k, cache_v, kv_scales, *,
 
     Args:
         fp: fused param bundle from build_fused_pack (pack/scales/norms/...).
-        x: (8, d) bf16 embedded token (row 0 real, rest zeros).
-        pos: () int32 absolute position of this token.
-        cache_k/cache_v: (L, W_pad, d) int8 ring caches (layer-flat layout).
+        x: (8, d) bf16 embedded token(s) (rows [0, batch) real, rest zeros).
+        pos: () int32 absolute position of this token — or, when
+            ``dims.batch > 1``, a (batch,) int32 vector of per-row positions.
+        cache_k/cache_v: (L, W_pad, d) int8 ring caches (layer-flat layout);
+            (L, batch, W_pad, d) when batched.
         kv_scales: (L, 2, W_pad) f32 per-position dequant scales (row 0 = K,
-            row 1 = V); small enough to stay VMEM-resident.
+            row 1 = V); small enough to stay VMEM-resident. When batched:
+            (L, 2 * batch, W_pad) — rows [0, B) = K scales, [B, 2B) = V.
     Returns:
-        (h (8, d) f32 pre-final-norm, k_new (L, 1, d) f32, v_new (L, 1, d) f32)
-        — the caller quantizes the new rows into the caches.
+        (h (8, d) f32 pre-final-norm, k_new (L, R, d) f32, v_new (L, R, d)
+        f32) where R = 1 (bs=1) or 8 (batched; rows [0, batch) real) — the
+        caller quantizes the new rows into the caches.
     """
     d = dims.dim
-    cos, sin = _rope_flat(pos, dims)
+    B = dims.batch
+    if B == 1:
+        cos, sin = _rope_flat(pos, dims)
+        pos_arg = jnp.reshape(pos.astype(jnp.int32), (1, 1))
+    else:
+        cos, sin = _rope_flat_rows(pos, dims)
+        pos_arg = jnp.zeros((1, 8), jnp.int32).at[0, :B].set(
+            pos.astype(jnp.int32))
     kernel = _make_kernel(dims, norm_eps)
     maxch = max(dims.stage_rows)
+    rr = 1 if B == 1 else 8
     out = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((8, d), jnp.float32),
-            jax.ShapeDtypeStruct((dims.n_layers, 1, d), jnp.float32),
-            jax.ShapeDtypeStruct((dims.n_layers, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((dims.n_layers, rr, d), jnp.float32),
+            jax.ShapeDtypeStruct((dims.n_layers, rr, d), jnp.float32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # pos (1,1)
@@ -450,8 +510,10 @@ def fused_decode_layers(fp, x, pos, cache_k, cache_v, kv_scales, *,
             pltpu.VMEM((NBUF, maxch, d // (2 if dims.wbits == 4 else 1)),
                        jnp.int8),                          # weight chunks
             pltpu.VMEM((NBUF, 2, maxch), jnp.float32),     # chunk scales (2 grp)
-            pltpu.VMEM((dims.w_pad, d), jnp.int8),         # K layer (int8)
-            pltpu.VMEM((dims.w_pad, d), jnp.int8),         # V layer (int8)
+            pltpu.VMEM((dims.w_pad, d) if B == 1 else (B, dims.w_pad, d),
+                       jnp.int8),                          # K layer (int8)
+            pltpu.VMEM((dims.w_pad, d) if B == 1 else (B, dims.w_pad, d),
+                       jnp.int8),                          # V layer (int8)
             pltpu.VMEM((8, d), jnp.float32),               # h
             pltpu.VMEM((8, d), jnp.float32),               # q raw
             pltpu.VMEM((8, d), jnp.float32),               # k raw
@@ -469,9 +531,10 @@ def fused_decode_layers(fp, x, pos, cache_k, cache_v, kv_scales, *,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            # deep chunk buffering (NBUF) overflows the 16 MB default budget
-            vmem_limit_bytes=32 * 1024 * 1024),
-    )(jnp.reshape(pos.astype(jnp.int32), (1, 1)), x, cos, sin, fp["hmask"],
+            # deep chunk buffering (NBUF) overflows the 16 MB default budget;
+            # batched mode adds the (B, Wp, d) K/V layer buffers
+            vmem_limit_bytes=(32 if B == 1 else 96) * 1024 * 1024),
+    )(pos_arg, x, cos, sin, fp["hmask"],
       fp["pack"], fp["scales"], fp["w2_scales"], fp["attn_norms"],
       fp["ffn_norms"], cache_k, cache_v, kv_scales)
     return out
@@ -500,17 +563,34 @@ def _rope_flat(pos, dims: FusedDims):
             jnp.broadcast_to(sin, (8, dims.dim)))
 
 
+def _rope_flat_rows(pos_vec, dims: FusedDims):
+    """Per-row _rope_flat: (B,) positions -> (8, d) cos/sin, pad rows at pos 0."""
+    Dh = dims.head_dim
+    B = pos_vec.shape[0]
+    freqs = 1.0 / (10000.0 ** (jnp.arange(0, Dh, 2, dtype=jnp.float32) / Dh))
+    ang = pos_vec.astype(jnp.float32)[:, None] * freqs          # (B, Dh/2)
+    cos = jnp.tile(jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], -1),
+                   (1, dims.n_heads))                           # (B, d)
+    sin = jnp.tile(jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], -1),
+                   (1, dims.n_heads))
+    pad = ((0, 8 - B), (0, 0))
+    return jnp.pad(cos, pad), jnp.pad(sin, pad)
+
+
 # ---------------------------------------------------------------------------
 # pack construction + jnp emulation (test oracle / CPU fallback)
 
-def make_dims(cfg, max_len: int, wbits: int = 8) -> FusedDims:
+def make_dims(cfg, max_len: int, wbits: int = 8, batch: int = 1) -> FusedDims:
+    if not 1 <= batch <= 8:
+        raise ValueError(f"fused decode batch must be in [1, 8], got {batch}")
     window = min(cfg.sliding_window, max_len + 1)
     w_pad = -(-window // 128) * 128
     kv_chunk = KV_CHUNK if KV_CHUNK and w_pad % KV_CHUNK == 0 else 0
     return FusedDims(
         n_layers=cfg.n_layers, dim=cfg.dim, hidden=cfg.hidden_dim,
         n_heads=cfg.n_heads, head_dim=cfg.head_dim,
-        window=window, w_pad=w_pad, wbits=wbits, kv_chunk=kv_chunk)
+        window=window, w_pad=w_pad, wbits=wbits, kv_chunk=kv_chunk,
+        batch=batch)
 
 
 def build_fused_pack(params, cfg, dims: FusedDims):
@@ -606,6 +686,38 @@ def build_fused_pack(params, cfg, dims: FusedDims):
         "ffn_norms": layers["ffn_norm"][:, None, :].astype(jnp.float32),
         "hmask": jnp.asarray(hmask, jnp.float32),
     }
+
+
+def fused_step_emulation_batched(fp, x, pos_vec, cache_k, cache_v, kv_scales, *,
+                                 dims: FusedDims, norm_eps: float = 1e-5):
+    """Batched oracle: per-row single-row emulations (the kernel's quantized
+    math is exactly row-independent — per-row act quant, per-row attention
+    against the row's own cache), assembled to the kernel's output shapes.
+
+    Args mirror fused_decode_layers with ``dims.batch > 1``:
+    cache_k/cache_v (L, B, Wp, d) int8, kv_scales (L, 2B, Wp) f32.
+    Returns (h (8, d) f32, k_new (L, 8, d) f32, v_new (L, 8, d) f32).
+    """
+    import dataclasses
+
+    B = dims.batch
+    d1 = dataclasses.replace(dims, batch=1)
+    hs, kns, vns = [], [], []
+    for b in range(B):
+        xb = jnp.zeros((8, dims.dim), x.dtype).at[0].set(x[b])
+        kvs_b = jnp.stack([kv_scales[:, b], kv_scales[:, B + b]], axis=1)
+        h, kn, vn = fused_step_emulation(
+            fp, xb, pos_vec[b], cache_k[:, b], cache_v[:, b], kvs_b,
+            dims=d1, norm_eps=norm_eps)
+        hs.append(h[0:1])
+        kns.append(kn[:, 0])
+        vns.append(vn[:, 0])
+    pad = jnp.zeros((8 - B, dims.dim), jnp.float32)
+    h8 = jnp.concatenate(hs + [pad], axis=0)
+    k8 = jnp.stack(kns, axis=1)                        # (L, B, d)
+    v8 = jnp.stack(vns, axis=1)
+    zpad = jnp.zeros((dims.n_layers, 8 - B, dims.dim), jnp.float32)
+    return h8, jnp.concatenate([k8, zpad], 1), jnp.concatenate([v8, zpad], 1)
 
 
 def fused_step_emulation(fp, x, pos, cache_k, cache_v, kv_scales=None, *,

@@ -209,6 +209,74 @@ def test_structure_matches_xla_engine(setup):
         np.asarray(v_new, np.float32), atol=8e-3)
 
 
+# ---------------------------------------------------------------------------
+# batched fused decode (dims.batch > 1)
+
+def _rand_cache_batched(dims, seed):
+    """Random batched int8 ring caches: (L, B, Wp, d) + (L, B, Wp) scales."""
+    from mars5_tts_tpu.ops.pallas.decode_layer import quantize_kv_rows
+    rng = np.random.default_rng(seed)
+    c = (rng.standard_normal(
+        (dims.n_layers, dims.batch, dims.w_pad, dims.dim)) * 0.1)
+    c[:, :, dims.window:] = 0
+    return quantize_kv_rows(jnp.asarray(c, jnp.float32))
+
+
+def test_kernel_matches_emulation_batched(setup):
+    """batch=3 kernel (interpret) == per-row bs=1 emulations, bit-level.
+
+    Distinct per-row positions exercise per-row ring-slot masks + RoPE."""
+    from mars5_tts_tpu.ops.pallas.decode_layer import (
+        fused_step_emulation_batched)
+    params, _, _ = setup
+    fp, dims = prepare_fused(params, CFG, max_len=MAX_LEN, batch=3)
+    assert dims.batch == 3
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, dims.dim), jnp.bfloat16)
+    x = x.at[dims.batch:].set(0)
+    (ck, ks), (cv, vs) = _rand_cache_batched(dims, 2), _rand_cache_batched(dims, 3)
+    kvs = jnp.concatenate([ks, vs], axis=1)            # (L, 2B, Wp)
+    pos = jnp.asarray([5, 30, 17], jnp.int32)          # below/beyond/below ring
+    h_e, k_e, v_e = fused_step_emulation_batched(
+        fp, x, pos, ck, cv, kvs, dims=dims, norm_eps=CFG.norm_eps)
+    h_k, k_k, v_k = fused_decode_layers(fp, x, pos, ck, cv, kvs, dims=dims,
+                                        norm_eps=CFG.norm_eps, interpret=True)
+    np.testing.assert_allclose(np.asarray(h_k), np.asarray(h_e), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(k_k), np.asarray(k_e), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_e), rtol=0, atol=1e-6)
+
+
+def test_batched_generation_rows_match_single(setup):
+    """Each batched row == its standalone 1-row batched run (same uniforms
+    column), and interpret kernel == emulation end-to-end."""
+    from mars5_tts_tpu.models.ar_decode_fused import ar_generate_fused_batched
+    params, _, _ = setup
+    s = ArSampling(temperature=0.7, top_k=50, top_p=0.2, n_phones_gen=100,
+                   eos_idx=0, valid_start=10, valid_end=510, max_len=MAX_LEN)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(10, 510, n) for n in (10, 6, 13)]
+    spks = [rng.integers(0, 1024, (sz, 8)) for sz in (20, 9, 14)]
+    u = rng.random((MAX_LEN, 3)).astype(np.float32)
+
+    fp3, dims3 = prepare_fused(params, CFG, max_len=MAX_LEN, batch=3)
+    out_emu = ar_generate_fused_batched(params, fp3, CFG, dims3, prompts, spks,
+                                        sampling=s, uniforms=u, interpret=None)
+    out_int = ar_generate_fused_batched(params, fp3, CFG, dims3, prompts, spks,
+                                        sampling=s, uniforms=u, interpret=True)
+    for i in range(3):
+        assert out_emu[i][1] == out_int[i][1], f"row {i} n_gen diverged"
+        np.testing.assert_array_equal(out_emu[i][0], out_int[i][0])
+
+    fp1, dims1 = prepare_fused(params, CFG, max_len=MAX_LEN, batch=1)
+    for i in range(3):
+        single = ar_generate_fused_batched(
+            params, fp1, CFG, dims1, [prompts[i]], [spks[i]], sampling=s,
+            uniforms=u[:, i:i + 1], interpret=None)[0]
+        assert out_emu[i][1] == single[1], f"row {i}: n_gen mismatch vs single"
+        np.testing.assert_array_equal(out_emu[i][0], single[0])
+        gen = out_emu[i][0][len(prompts[i]):]
+        assert ((gen >= 10) & (gen < 510)).all()
+
+
 def test_fused_generation_token_identical(setup):
     params, fp, dims = setup
     s = ArSampling(temperature=0.7, top_k=50, top_p=0.2, n_phones_gen=100,
