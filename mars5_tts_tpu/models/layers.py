@@ -40,7 +40,7 @@ def _use_fused_quant(wdict, x):
     if os.environ.get("MARS5_FUSED_EPILOGUE", "0") != "1":
         return False
     from ..ops.quant import is_quantized
-    if not (is_quantized(wdict) and "a8" in wdict):
+    if not (is_quantized(wdict) and "a8" in wdict) or "sg" in wdict:
         return False
     if x.shape[0] * x.shape[1] < _FUSED_QUANT_MIN_ROWS:
         return False
@@ -118,11 +118,14 @@ def _use_nar_fused(p, x):
     return enabled()
 
 
-def _nar_fused_groups() -> int:
-    """Per-K-group activation-quant granularity for the fused kernels (quality
-    knob; 1 = per-row, bit-matching the unfused W8A8 path)."""
+def _nar_fused_gsize() -> int:
+    """Per-K-group quant granularity (group SIZE, e.g. 128) for the fused
+    kernels — the quality knob. 0 = per-row act scales, bit-matching the
+    unfused W8A8 path. With MARS5_NARF_GSIZE=g, every fused GEMM quantizes
+    activations per (row, K-group of g), and weights quantized with
+    quantize_nar(w_gsize=g) add matching per-group weight scales."""
     import os
-    return int(os.environ.get("MARS5_NARF_GROUPS", "1"))
+    return int(os.environ.get("MARS5_NARF_GSIZE", "0"))
 
 
 def _nar_fused_sites() -> frozenset:
@@ -135,6 +138,25 @@ def _nar_fused_sites() -> frozenset:
     import os
     v = os.environ.get("MARS5_NARF_SITES", "qkv,caq,ffn")
     return frozenset(s.strip() for s in v.split(",") if s.strip())
+
+
+def nar_w_group_keys() -> tuple:
+    """Decoder-stack weights eligible for per-K-group quantization: exactly
+    those whose GEMM runs inside a fused Pallas kernel under the current
+    MARS5_NARF_SITES (grouped dicts have no per-row scale, so an unfused
+    consumer would fail — see ops/quant.quantize_nar). ca_in_w never
+    qualifies: its memory-KV rows feed the unfused XLA projection."""
+    sites = _nar_fused_sites()
+    keys = []
+    if "qkv" in sites:
+        keys.append("sa_in_w")
+    if "saout" in sites:
+        keys.append("sa_out_w")
+    if "caout" in sites:
+        keys.append("ca_out_w")
+    if "ffn" in sites:
+        keys += ["WV", "lin2_w"]
+    return tuple(keys)
 
 
 def decoder_layer_fused(p, x, memory, nhead: int, tgt_key_padding_mask=None,
@@ -153,10 +175,15 @@ def decoder_layer_fused(p, x, memory, nhead: int, tgt_key_padding_mask=None,
     from ..ops.quant import linear_any, slice_rows
     from ..ops.attention import sdpa
 
-    g = _nar_fused_groups()
+    gsize = _nar_fused_gsize()
     sites = _nar_fused_sites()
     b, l, d = x.shape
     hd = d // nhead
+
+    def gct(k_dim):
+        return k_dim // gsize if gsize and k_dim % gsize == 0 else 1
+
+    g = gct(d)
     if "qkv" in sites:
         qkv = fused_linear(x, p["sa_in_w"], ln=(p["norm1_w"], p["norm1_b"]),
                            bias=p["sa_in_b"], eps=LAYERNORM_EPS, groups=g,
@@ -204,6 +231,7 @@ def decoder_layer_fused(p, x, memory, nhead: int, tgt_key_padding_mask=None,
     if "ffn" in sites:
         return fused_ffn(x, p["norm3_w"], p["norm3_b"], p["WV"], p["lin2_w"],
                          p["lin2_b"], eps=LAYERNORM_EPS, groups=g,
+                         groups2=gct(p["lin2_w"]["q"].shape[-1]),
                          interpret=interpret)
     h = layer_norm(x, p["norm3_w"], p["norm3_b"], LAYERNORM_EPS)
     return x + swiglu_ff(p, h)

@@ -12,9 +12,12 @@ whole 26-layer step is ONE Pallas program:
 * all block weights live in HBM as ONE packed int8 buffer, (L*16896, 1536):
   per layer [wq | wk | wv | wo | w1 | w3 | w2ᵀ] rows, every matmul stored with
   its contraction axis along columns (w2 transposed) so the stream is uniform;
-* the program runs a fori_loop over L*10 chunk-steps, manually double-buffering
-  chunk DMAs (measured 442 GB/s with int8 dots overlapped vs 290 GB/s for the
-  automatic grid pipeline at the same shapes);
+* the program runs a fori_loop over the L layers with the 10 chunk-stages of
+  each layer statically unrolled (stage ids, DMA descriptors, and buffer-slot
+  arithmetic resolve at compile time — the earlier 10-way-predicated L*10
+  chunk-step loop paid ~0.3 ms/token of scalar-core dispatch), manually
+  double-buffering chunk DMAs (measured 442 GB/s with int8 dots overlapped vs
+  290 GB/s for the automatic grid pipeline at the same shapes);
 * chunk sizes are stage-exact (1536 rows for q/k/v/wo, hidden/2=1792 for the
   FFN pieces) — zero padding, zero wasted bytes;
 * matmuls are W8A8: activations are dynamically quantized per token and dotted
@@ -253,13 +256,34 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
             sgn = jnp.where(first_half, -1.0, 1.0)
             return x_flat * cosf_ref[:] + pair * sgn * sinf_ref[:]
 
-        def body(i, _):
-            l = i // 10
-            c = jax.lax.rem(i, 10)
-            slot = jax.lax.rem(i, NBUF)
-            nslot = jax.lax.rem(i + NBUF, NBUF)
+        def body(l, _):
+            # All 10 chunk-stages of one layer, statically unrolled: no
+            # per-chunk pl.when dispatch (the 10-way predicated form cost
+            # ~0.3 ms/token of scalar-core overhead over the DMA floor), and
+            # the attn/ffn RMS+act-quant prologues run once per layer instead
+            # of once per consuming chunk (bitwise-identical: h is unchanged
+            # between the stages that shared them).
+            base = l * 10
 
-            def dot_rows(xq8, xs, rows):
+            def wslot(c):
+                return jax.lax.rem(base + c, NBUF)
+
+            def stage_wait(c, slot):
+                wdma_c(c, slot, l).wait()
+                sdma_c(slot, base + c).wait()
+
+            def start_ahead(c, slot):
+                # chunk base+c+NBUF reuses this slot; its stage index is
+                # static ((c+NBUF)%10), only the layer offset is dynamic
+                ncs = (c + NBUF) % 10
+                nl = l + (c + NBUF) // 10
+
+                @pl.when(base + c + NBUF < n_steps)
+                def _():
+                    wdma_c(ncs, slot, nl).start()
+                    sdma_c(slot, base + c + NBUF).start()
+
+            def dot_rows(xq8, xs, rows, slot):
                 """xq8 (8, d) @ chunk rows -> scaled f32 (8, rows).
 
                 wbits=4: two half-contraction int8 dots against the unpacked
@@ -282,36 +306,25 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
                     preferred_element_type=jnp.int32)
                 return y.astype(jnp.float32) * xs * sbuf[slot, 0:1, :rows]
 
-            def stage_qkvwo(c_static, dest):
-                """Wait chunk, dot vs attn-normed h, store scaled output."""
-                wdma_c(c_static, slot, l).wait()
-                sdma_c(slot, i).wait()
-                hn = _rms(h[:], attn_n_ref[l], norm_eps)
-                xq8, xs = _quant_rows(hn)
-                dest[:] = dot_rows(xq8, xs, d)
+            # ---- stages 0-2: q/k/v projections (shared attn-norm prologue) --
+            hn = _rms(h[:], attn_n_ref[l], norm_eps)
+            xq8a, xsa = _quant_rows(hn)
+            for c, dest in ((0, qb), (1, kb), (2, vb)):
+                slot = wslot(c)
+                stage_wait(c, slot)
+                dest[:] = dot_rows(xq8a, xsa, d, slot)
+                start_ahead(c, slot)
 
-            @pl.when(c == 0)
-            def _():
-                stage_qkvwo(0, qb)
-
-            @pl.when(c == 1)
-            def _():
-                stage_qkvwo(1, kb)
-
-            @pl.when(c == 2)
-            def _():
-                stage_qkvwo(2, vb)
-
-            @pl.when(c == 3)
-            def _():
+            # ---- stage 3: attention + wo projection ----
+            def stage3_attn_wo():
+                slot = wslot(3)
+                stage_wait(3, slot)
                 # ---- attention (kernel-resident), then the wo projection ----
                 # K/V live int8 (per-position scales in the VMEM-resident
                 # kvs_ref): the score dot runs int8 x int8 against a per-head
                 # quantized q, and the per-key V scale folds into the softmax
                 # weights before an int8 PV dot — halves the dominant cache
                 # stream (7.9 -> 3.9 MB/layer/token).
-                wdma_c(3, slot, l).wait()
-                sdma_c(slot, i).wait()
                 kv_wait(l)
                 q = rope(qb[:])                     # (8, d), rows [0, B) real
                 k_new = rope(kb[:])
@@ -363,42 +376,32 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
                             kvs_ref[l, b:b + 1, :],
                             kvs_ref[l, B + b:B + b + 1, :], valid_rows[b])
                     a8, ascale = _quant_rows(qb[:])
-                h[:] += dot_rows(a8, ascale, d)
+                h[:] += dot_rows(a8, ascale, d, slot)
+                start_ahead(3, slot)
 
-            def stage_ffn_in(c_static, dest, lane_off):
-                wdma_c(c_static, slot, l).wait()
-                sdma_c(slot, i).wait()
-                hn = _rms(h[:], ffn_n_ref[l], norm_eps)
-                xq8, xs = _quant_rows(hn)
-                dest[:, lane_off:lane_off + fch] = dot_rows(xq8, xs, fch)
+            stage3_attn_wo()
 
-            @pl.when(c == 4)
-            def _():
-                stage_ffn_in(4, w1b, 0)
-                # cache prefetch for the next layer (attention just released it)
-                @pl.when(l + 1 < L)
-                def _():
-                    kv_start(l + 1)
+            # ---- stages 4-7: FFN in-projections (shared ffn-norm prologue) --
+            hn2 = _rms(h[:], ffn_n_ref[l], norm_eps)
+            xq8f, xsf = _quant_rows(hn2)
+            for c, dest, lane_off in ((4, w1b, 0), (5, w1b, fch),
+                                      (6, w3b, 0), (7, w3b, fch)):
+                slot = wslot(c)
+                stage_wait(c, slot)
+                dest[:, lane_off:lane_off + fch] = dot_rows(xq8f, xsf, fch, slot)
+                if c == 4:
+                    # cache prefetch for the next layer (attention released it)
+                    @pl.when(l + 1 < L)
+                    def _():
+                        kv_start(l + 1)
+                start_ahead(c, slot)
 
-            @pl.when(c == 5)
-            def _():
-                stage_ffn_in(5, w1b, fch)
+            u = jax.nn.silu(w1b[:]) * w3b[:]
+            q8u, qsu = _quant_rows(u)
+            uq[:] = q8u
+            us[:] = qsu
 
-            @pl.when(c == 6)
-            def _():
-                stage_ffn_in(6, w3b, 0)
-
-            @pl.when(c == 7)
-            def _():
-                stage_ffn_in(7, w3b, fch)
-                u = jax.nn.silu(w1b[:]) * w3b[:]
-                q8, qs = _quant_rows(u)
-                uq[:] = q8
-                us[:] = qs
-
-            def stage_w2(c_static, lane_off, add_out):
-                wdma_c(c_static, slot, l).wait()
-                sdma_c(slot, i).wait()  # w2t per-row scales unused (zeros)
+            def stage_w2(c_static, lane_off, add_out, slot):
                 u_sl = uq[:, lane_off:lane_off + fch]
                 if W4:
                     # w2t nibbles split the OUTPUT columns (d/2 | d/2): two
@@ -420,27 +423,15 @@ def _make_kernel(dims: FusedDims, norm_eps: float):
                 else:
                     acc[:] = y
 
-            @pl.when(c == 8)
-            def _():
-                stage_w2(8, 0, False)
-
-            @pl.when(c == 9)
-            def _():
-                stage_w2(9, fch, True)
-
-            # start the weight DMA NBUF steps ahead: its stage is (c+NBUF)%10
-            nxt = i + NBUF
-            @pl.when(nxt < n_steps)
-            def _():
-                nl = nxt // 10
-                for cs in range(10):
-                    @pl.when(jax.lax.rem(nxt, 10) == cs)
-                    def _(cs=cs):
-                        wdma_c(cs, nslot, nl).start()
-                        sdma_c(nslot, nxt).start()
+            # ---- stages 8-9: the two w2 half-contractions ----
+            for c, lane_off, add_out in ((8, 0, False), (9, fch, True)):
+                slot = wslot(c)
+                stage_wait(c, slot)  # w2t per-chunk scales unused (zeros)
+                stage_w2(c, lane_off, add_out, slot)
+                start_ahead(c, slot)
             return 0
 
-        jax.lax.fori_loop(0, n_steps, body, 0)
+        jax.lax.fori_loop(0, L, body, 0)
         h_out_ref[:] = h[:]
 
     return kernel

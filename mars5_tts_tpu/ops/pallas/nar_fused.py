@@ -76,15 +76,24 @@ def _quant_rows(xf):
 def _qdot(xf, w_ref, s_ref, groups: int):
     """quant -> int8 nk-dot -> f32 rescale, optionally per-K-group.
 
-    xf: (bm, K) f32; w_ref: (N, K) int8 ref; s_ref: (1, N) f32 ref.
-    Returns f32 (bm, N) = approx xf @ W^T * s.
+    xf: (bm, K) f32; w_ref: (N, K) int8 ref; s_ref: (wG, N) f32 ref — wG = 1
+    for per-row weight scales, or wG == groups for per-K-group weight scales
+    (quantize_weight_grouped dicts; each group's int32 partial is rescaled by
+    its own weight scale before accumulation). Returns f32 (bm, N).
     """
     K = xf.shape[-1]
+    wG = s_ref.shape[0]
     if groups == 1:
+        if wG != 1:
+            raise ValueError("grouped weight scales require groups == wG")
         xq, xs = _quant_rows(xf)
         acc = jax.lax.dot_general(xq, w_ref[:], (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)
         return acc.astype(jnp.float32) * (xs * s_ref[:])
+    if K % groups:
+        raise ValueError(f"groups {groups} does not divide K={K}")
+    if wG not in (1, groups):
+        raise ValueError(f"weight scale groups {wG} != act groups {groups}")
     gs = K // groups
     out = None
     for g in range(groups):
@@ -93,8 +102,10 @@ def _qdot(xf, w_ref, s_ref, groups: int):
         acc = jax.lax.dot_general(xq, w_ref[:, sl], (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)
         part = acc.astype(jnp.float32) * xs
+        if wG > 1:
+            part = part * s_ref[g:g + 1, :]
         out = part if out is None else out + part
-    return out * s_ref[:]
+    return out if wG > 1 else out * s_ref[:]
 
 
 def _lin_kernel(refs, *, eps, groups, has_ln, has_bias, has_res):
@@ -131,19 +142,30 @@ def _silu_mul_bf16(wv):
 
 
 def _ffn_kernel(x_ref, wv_ref, wvs_ref, nw_ref, nb_ref, l2_ref, l2s_ref,
-                l2b_ref, o_ref, *, eps, groups):
+                l2b_ref, o_ref, *, eps, groups, groups2):
     xf = x_ref[:].astype(jnp.float32)
     h = _ln_bf16_f32(xf, nw_ref[:], nb_ref[:], eps)
     wv = _qdot(h, wv_ref, wvs_ref, groups).astype(jnp.bfloat16)  # (bm, 2F)
     u = _silu_mul_bf16(wv)
-    y = _qdot(u.astype(jnp.float32), l2_ref, l2s_ref, groups)
+    y = _qdot(u.astype(jnp.float32), l2_ref, l2s_ref, groups2)
     y = y + l2b_ref[:]
     o_ref[:] = x_ref[:] + y.astype(o_ref.dtype)
 
 
 def _flatten_w(w):
-    """Quant dict -> ((N, K) int8, (1, N) f32 scales); stacked kernels flatten."""
-    q, s = w["q"], w["s"]
+    """Quant dict -> ((N, K) int8, (wG, N) f32 scales); stacked kernels flatten.
+
+    Per-row dicts yield wG = 1; grouped dicts ("sg" (…, G, N)) yield wG = G
+    (the (S, G, D) stacked in_proj case flattens group-major to (G, S*D),
+    matching the q flatten order)."""
+    q = w["q"]
+    if "sg" in w:
+        sg = w["sg"]
+        if q.ndim == 3:                  # (3, D, D) + (3, G, D)
+            q = q.reshape(-1, q.shape[-1])
+            sg = jnp.transpose(sg, (1, 0, 2)).reshape(sg.shape[1], -1)
+        return q, sg.astype(jnp.float32)
+    s = w["s"]
     if q.ndim == 3:                      # (3, D, D) attention in_proj
         q = q.reshape(-1, q.shape[-1])
         s = s.reshape(-1)
@@ -231,13 +253,15 @@ def fused_linear(x3, w, *, ln=None, bias=None, residual=None, eps: float = 4e-5,
     return out[:m].reshape(b, l, n)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "groups", "bm", "interpret"))
-def _ffn_call(x2, wvq, wvs, nw, nb, l2q, l2s, l2b, *, eps, groups, bm,
+@functools.partial(jax.jit, static_argnames=("eps", "groups", "groups2", "bm",
+                                             "interpret"))
+def _ffn_call(x2, wvq, wvs, nw, nb, l2q, l2s, l2b, *, eps, groups, groups2, bm,
               interpret):
     mp, k = x2.shape
     row = lambda i: (i, 0)
     fix = lambda i: (0, 0)
-    kernel = functools.partial(_ffn_kernel, eps=eps, groups=groups)
+    kernel = functools.partial(_ffn_kernel, eps=eps, groups=groups,
+                               groups2=groups2)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((mp, k), jnp.bfloat16),
@@ -259,11 +283,14 @@ def _ffn_call(x2, wvq, wvs, nw, nb, l2q, l2s, l2b, *, eps, groups, bm,
 
 
 def fused_ffn(x3, norm_w, norm_b, wv, lin2, lin2_b, *, eps: float = 4e-5,
-              groups: int = 1, bm: int | None = None, interpret: bool = False):
+              groups: int = 1, groups2: int | None = None,
+              bm: int | None = None, interpret: bool = False):
     """x + lin2(silu(w)*v) with LN/quant chains fused; (M, 2F) stays in VMEM.
 
     Bit-matches ``x + swiglu_ff(p, layer_norm(x))`` on the W8A8 path when
-    ``groups == 1`` (see module docstring).
+    ``groups == 1`` (see module docstring). ``groups`` covers the WV dot
+    (K = model dim), ``groups2`` the lin2 dot (K = FFN dim; defaults to
+    ``groups`` — pass both when deriving counts from one group SIZE).
     """
     b, l, k = x3.shape
     wvq, wvs = _flatten_w(wv)
@@ -275,7 +302,9 @@ def fused_ffn(x3, norm_w, norm_b, wv, lin2, lin2_b, *, eps: float = 4e-5,
         norm_w.reshape(1, k).astype(jnp.float32),
         norm_b.reshape(1, k).astype(jnp.float32),
         l2q, l2s, lin2_b.reshape(1, k).astype(jnp.float32),
-        eps=eps, groups=groups, bm=bm, interpret=interpret)
+        eps=eps, groups=groups,
+        groups2=groups if groups2 is None else groups2,
+        bm=bm, interpret=interpret)
     return out[:m].reshape(b, l, k)
 
 
@@ -287,10 +316,12 @@ def _qdot_ref(xf, wq, ws, groups):
     class _W:                                    # mimic ref[:] / ref[:, sl]
         def __init__(self, a):
             self.a = a
+            self.shape = a.shape
 
         def __getitem__(self, sl):
             return self.a[sl]
-    return _qdot(xf, _W(wq), _W(ws.reshape(1, -1).astype(jnp.float32)), groups)
+    # ws arrives from _flatten_w already shaped (wG, N)
+    return _qdot(xf, _W(wq), _W(ws.astype(jnp.float32)), groups)
 
 
 def fused_linear_ref(x3, w, *, ln=None, bias=None, residual=None,
@@ -311,7 +342,7 @@ def fused_linear_ref(x3, w, *, ln=None, bias=None, residual=None,
 
 
 def fused_ffn_ref(x3, norm_w, norm_b, wv, lin2, lin2_b, *, eps: float = 4e-5,
-                  groups: int = 1):
+                  groups: int = 1, groups2: int | None = None):
     b, l, k = x3.shape
     wvq, wvs = _flatten_w(wv)
     l2q, l2s = _flatten_w(lin2)
@@ -321,6 +352,7 @@ def fused_ffn_ref(x3, norm_w, norm_b, wv, lin2, lin2_b, *, eps: float = 4e-5,
                      norm_b.reshape(1, k).astype(jnp.float32), eps)
     wv_o = _qdot_ref(h, wvq, wvs, groups).astype(jnp.bfloat16)
     u = _silu_mul_bf16(wv_o)
-    y = _qdot_ref(u.astype(jnp.float32), l2q, l2s, groups)
+    y = _qdot_ref(u.astype(jnp.float32), l2q, l2s,
+                  groups if groups2 is None else groups2)
     y = y + lin2_b.reshape(1, k).astype(jnp.float32)
     return (x2 + y.astype(jnp.bfloat16)).reshape(b, l, k)

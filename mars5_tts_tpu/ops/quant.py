@@ -44,6 +44,29 @@ def linear_q8(x, q, scale, b=None):
     return y.astype(x.dtype)
 
 
+def quantize_weight_grouped(w, gsize: int, levels: int = 127):
+    """Per-(output-channel, K-group) symmetric int8: finer than per-row.
+
+    w: (..., N, K) with K % gsize == 0. Returns (q (..., N, K) int8,
+    sg (..., G, N) f32) where G = K // gsize — the group axis leads the output
+    axis to match the fused kernels' (G, N) scale layout. The quantized values
+    are group-scaled, so they CANNOT be dequantized with a per-row scale:
+    grouped dicts are only consumable by the fused Pallas GEMMs
+    (ops/pallas/nar_fused.py), never by the XLA linear_w8a8 path.
+    """
+    K = w.shape[-1]
+    if K % gsize:
+        raise ValueError(f"gsize {gsize} does not divide K={K}")
+    G = K // gsize
+    wf = w.astype(jnp.float32).reshape(*w.shape[:-1], G, gsize)
+    amax = jnp.max(jnp.abs(wf), axis=-1, keepdims=True)      # (..., N, G, 1)
+    sg = (amax / levels).astype(jnp.float32)
+    q = jnp.clip(jnp.round(wf / jnp.maximum(sg, 1e-12)), -levels, levels)
+    q = q.astype(jnp.int8).reshape(w.shape)
+    sg = jnp.moveaxis(sg[..., 0], -1, -2)                    # (..., G, N)
+    return q, sg
+
+
 def quantize_act(x):
     """Dynamic symmetric per-row (per-token) int8 activation quantization.
 
@@ -156,7 +179,8 @@ def slice_rows(w, sl):
 _NAR_QUANT_KEYS = ("sa_in_w", "sa_out_w", "ca_in_w", "ca_out_w", "WV", "lin2_w")
 
 
-def quantize_nar(params, act_int8: bool = True):
+def quantize_nar(params, act_int8: bool = True, w_gsize: int = 0,
+                 w_group_keys=("sa_in_w", "WV", "lin2_w")):
     """Quantize the NAR encoder/decoder stacks (+8 output heads) to int8.
 
     The diffusion denoiser is compute-bound (SURVEY §2.7 budget: 200 steps × 2
@@ -168,6 +192,17 @@ def quantize_nar(params, act_int8: bool = True):
     embeddings, layernorms, attention softmax (fp32), and all diffusion
     posterior math (fp32 — diffusion/ untouched). Grid-divergence vs bf16 is
     characterized in tests/test_quant.py.
+
+    ``w_gsize > 0``: per-(channel, K-group) weight scales ("sg" key, group size
+    ``w_gsize``) for the decoder-stack kernels in ``w_group_keys`` — the
+    fidelity dial affordable only inside the fused Pallas GEMMs
+    (MARS5_NAR_FUSED), which consume the matching per-K-group activation
+    scales too. Grouped dicts deliberately omit "s": any XLA-path consumer
+    fails loudly instead of dequantizing group-scaled values with a per-row
+    scale — which is why ``w_group_keys`` must only name weights whose GEMM
+    actually runs fused (ca_in_w never qualifies: its memory-KV rows feed the
+    unfused XLA projection; sa_out_w/ca_out_w only if their sites are enabled
+    in MARS5_NARF_SITES). Encoder-stack + head weights stay per-row.
     """
     def qdict(w):
         q, s = quantize_weight(w, axis=-1)
@@ -176,14 +211,24 @@ def quantize_nar(params, act_int8: bool = True):
         marker = jnp.zeros(q.shape[:-2] if q.ndim > 2 else ())
         return {"q": q, "s": s, "a8": marker}
 
+    def qdict_grouped(w):
+        if w.shape[-1] % w_gsize:
+            return qdict(w)          # K not divisible: per-row fallback
+        q, sg = quantize_weight_grouped(w, w_gsize)
+        marker = jnp.zeros(q.shape[:-2] if q.ndim > 2 else ())
+        return {"q": q, "sg": sg, "a8": marker}
+
     mk = qdict
     out = dict(params)
     for stack in ("encoder", "decoder"):
         st = dict(params[stack])
         layers = dict(st["layers"])
+        grouped = act_int8 and w_gsize > 0 and stack == "decoder"
         for k in _NAR_QUANT_KEYS:
             if k in layers:
-                layers[k] = mk(layers[k])
+                layers[k] = (qdict_grouped(layers[k])
+                             if grouped and k in w_group_keys
+                             else mk(layers[k]))
         st["layers"] = layers
         out[stack] = st
     rd = dict(params["residual_decoder"])
@@ -196,11 +241,41 @@ def index_quant(w, i):
     """Index a stacked kernel (quantized dict or plain array) on axis 0."""
     if is_quantized(w):
         key = "qt" if "qt" in w else "q"
-        out = {key: w[key][i], "s": w["s"][i]}
+        skey = "sg" if "sg" in w else "s"
+        out = {key: w[key][i], skey: w[skey][i]}
         if "a8" in w:
             out["a8"] = w["a8"]
         return out
     return w[i]
+
+
+def linear_w8a8_grouped(x, q, sg, b=None):
+    """W8A8 with per-K-group weight+activation scales — XLA fallback.
+
+    q: (..., N, K) group-scaled int8 (from quantize_weight_grouped);
+    sg: (..., G, N) f32. This is the correctness twin of the fused kernels'
+    grouped path for consumers off the fused route (CPU tests, small inputs
+    under _FUSED_QUANT_MIN_ROWS). It pays G split-dots + G HBM rescales —
+    never use it on the hot path (that's what ops/pallas/nar_fused.py is for).
+    """
+    G = sg.shape[-2]
+    K = x.shape[-1]
+    gs = K // G
+    xf = x.astype(jnp.float32)
+    out = None
+    for g in range(G):
+        sl = slice(g * gs, (g + 1) * gs)
+        xq, xs = quantize_act(xf[..., sl])
+        xs = xs.reshape(xs.shape[:-1] + (1,) * (q.ndim - 1))
+        y = jax.lax.dot_general(
+            xq, q[..., sl],
+            dimension_numbers=(((x.ndim - 1,), (q.ndim - 1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        part = y.astype(jnp.float32) * (xs * sg[..., g, :])
+        out = part if out is None else out + part
+    if b is not None:
+        out = out + b
+    return out.astype(x.dtype)
 
 
 def linear_w8a8_pre(xq, xs, q, scale, b=None, out_dtype=jnp.bfloat16):
@@ -236,6 +311,8 @@ def linear_any(x, w, b=None):
     if is_quantized(w):
         if "qt" in w:
             return linear_w8a8_t(x, w["qt"], w["s"], b)
+        if "sg" in w:
+            return linear_w8a8_grouped(x, w["q"], w["sg"], b)
         if "a8" in w:
             return linear_w8a8(x, w["q"], w["s"], b)
         return linear_q8(x, w["q"], w["s"], b)

@@ -105,7 +105,17 @@ class Mars5TTS:
         self.nar_backend = nar_backend
         if nar_backend == "int8":
             from .ops.quant import quantize_nar
-            self.codecnar = quantize_nar(self.codecnar)
+            from .ops.pallas import enabled as _pallas_on
+            from .models.layers import _nar_fused_gsize, nar_w_group_keys
+            # per-K-group weight scales (MARS5_NARF_GSIZE) ride the fused
+            # Pallas GEMMs; off the TPU they'd hit the slow XLA fallback,
+            # so grouping only applies when the fused path is live
+            import os as _os
+            fused_on = (_pallas_on()
+                        and _os.environ.get("MARS5_NAR_FUSED", "1") == "1")
+            gs = _nar_fused_gsize() if fused_on else 0
+            self.codecnar = quantize_nar(self.codecnar, w_gsize=gs,
+                                         w_group_keys=nar_w_group_keys())
 
     def _get_fused(self, max_len: int):
         """Lazily build (and cache, keyed by max_len) the fused decode pack."""

@@ -158,6 +158,122 @@ def test_grouped_quant_tighter_than_per_row(layer):
     assert errs[4] <= errs[1] * 1.05
 
 
+def _gd(w, gsize):
+    """Grouped-weight quant dict (per-(channel, K-group) scales)."""
+    from mars5_tts_tpu.ops.quant import quantize_weight_grouped
+    q, sg = quantize_weight_grouped(jnp.asarray(w), gsize)
+    return {"q": q, "sg": sg,
+            "a8": jnp.zeros(q.shape[:-2] if q.ndim > 2 else ())}
+
+
+def test_wgrouped_matches_emulation(layer, rng):
+    """Grouped WEIGHT scales (sg dicts): interpret kernel == jnp emulation."""
+    from mars5_tts_tpu.ops.pallas.nar_fused import (fused_ffn, fused_ffn_ref,
+                                                    fused_linear,
+                                                    fused_linear_ref)
+
+    p, x, _ = layer
+    d, f, gsize = 256, 384, 64
+    sa_in = _gd(rng.standard_normal((3, d, d)) * 0.05, gsize)
+    wv = _gd(rng.standard_normal((2 * f, d)) * 0.05, gsize)
+    lin2 = _gd(rng.standard_normal((d, f)) * 0.05, gsize)
+    g, g2 = d // gsize, f // gsize
+    got = fused_linear(x, sa_in, ln=(p["norm1_w"], p["norm1_b"]),
+                       bias=p["sa_in_b"], eps=LAYERNORM_EPS, groups=g,
+                       bm=64, interpret=True)
+    want = fused_linear_ref(x, sa_in, ln=(p["norm1_w"], p["norm1_b"]),
+                            bias=p["sa_in_b"], eps=LAYERNORM_EPS, groups=g)
+    _assert_fused_eq(got, want)
+
+    got = fused_ffn(x, p["norm3_w"], p["norm3_b"], wv, lin2,
+                    p["lin2_b"], eps=LAYERNORM_EPS, groups=g, groups2=g2,
+                    bm=64, interpret=True)
+    want = fused_ffn_ref(x, p["norm3_w"], p["norm3_b"], wv, lin2,
+                         p["lin2_b"], eps=LAYERNORM_EPS, groups=g, groups2=g2)
+    _assert_fused_eq(got, want, exact_frac=0.4)
+
+
+def test_wgrouped_xla_fallback_matches_kernel(layer, rng):
+    """linear_any on an sg dict (XLA grouped fallback) == the fused kernel."""
+    from mars5_tts_tpu.ops.pallas.nar_fused import fused_linear
+
+    p, x, _ = layer
+    d, gsize = 256, 64
+    w = _gd(rng.standard_normal((d, d)) * 0.05, gsize)
+    got = fused_linear(x, w, groups=d // gsize, bm=64, interpret=True)
+    want = linear_any(x, w)
+    _assert_fused_eq(got, want, exact_frac=0.4)
+
+
+def test_wgrouped_tighter_than_per_row(layer, rng):
+    """Grouped weight+act scales beat per-row accuracy vs the fp32 product."""
+    from mars5_tts_tpu.ops.pallas.nar_fused import fused_linear
+
+    p, x, _ = layer
+    d, gsize = 256, 32
+    wf = rng.standard_normal((d, d)).astype(np.float32) * 0.05
+    exact = np.asarray(x.astype(jnp.float32).reshape(-1, d)) @ wf.T
+    y_row = fused_linear(x, _qd(wf), bm=64, interpret=True)
+    y_grp = fused_linear(x, _gd(wf, gsize), groups=d // gsize, bm=64,
+                         interpret=True)
+    e_row = np.abs(np.asarray(y_row, np.float32).reshape(-1, d) - exact).mean()
+    e_grp = np.abs(np.asarray(y_grp, np.float32).reshape(-1, d) - exact).mean()
+    assert e_grp < e_row
+
+
+def test_quantize_nar_grouped_keys():
+    """quantize_nar(w_gsize) groups exactly the fused-site keys; the decoder
+    layer then runs through the fused path (interpret) and stays close to the
+    per-row quantized layer."""
+    from mars5_tts_tpu.ops.quant import quantize_nar
+
+    rng = np.random.default_rng(3)
+    d, f, lk, L = 256, 384, 32, 2
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.05)
+    layers = {
+        "norm1_w": mk(L, d) + 1, "norm1_b": mk(L, d),
+        "norm2_w": mk(L, d) + 1, "norm2_b": mk(L, d),
+        "norm3_w": mk(L, d) + 1, "norm3_b": mk(L, d),
+        "sa_in_w": mk(L, 3, d, d), "sa_in_b": mk(L, 3, d),
+        "sa_out_w": mk(L, d, d), "sa_out_b": mk(L, d),
+        "ca_in_w": mk(L, 3, d, d), "ca_in_b": mk(L, 3, d),
+        "ca_out_w": mk(L, d, d), "ca_out_b": mk(L, d),
+        "WV": mk(L, 2 * f, d), "lin2_w": mk(L, d, f), "lin2_b": mk(L, d),
+    }
+    params = {"encoder": {"layers": {}},
+              "decoder": {"layers": layers},
+              "residual_decoder": {"lin_w": mk(8, 16, d)}}
+    qp = quantize_nar(params, w_gsize=64,
+                      w_group_keys=("sa_in_w", "WV", "lin2_w"))
+    dl = qp["decoder"]["layers"]
+    assert "sg" in dl["sa_in_w"] and "s" not in dl["sa_in_w"]
+    assert dl["sa_in_w"]["sg"].shape == (L, 3, d // 64, d)
+    assert "sg" in dl["WV"] and dl["WV"]["sg"].shape == (L, d // 64, 2 * f)
+    assert "sg" in dl["lin2_w"] and dl["lin2_w"]["sg"].shape == (L, f // 64, d)
+    for k in ("sa_out_w", "ca_in_w", "ca_out_w"):
+        assert "s" in dl[k] and "sg" not in dl[k]
+
+    import os
+    from mars5_tts_tpu.ops.quant import index_quant
+    lp = {k: (index_quant(v, 0) if isinstance(v, dict) else v[0])
+          for k, v in dl.items()}
+    lp_row = {k: (index_quant(v, 0) if isinstance(v, dict) else v[0])
+              for k, v in quantize_nar(params)["decoder"]["layers"].items()}
+    x = jnp.asarray(rng.standard_normal((1, 64, d)).astype(np.float32),
+                    jnp.bfloat16)
+    memory = jnp.asarray(rng.standard_normal((1, lk, d)).astype(np.float32),
+                         jnp.bfloat16)
+    os.environ["MARS5_NARF_GSIZE"] = "64"
+    try:
+        got = decoder_layer_fused(lp, x, memory, nhead=4, interpret=True)
+    finally:
+        del os.environ["MARS5_NARF_GSIZE"]
+    want = decoder_layer_fused(lp_row, x, memory, nhead=4, interpret=True)
+    g, w = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    cos = (g * w).sum() / (np.linalg.norm(g) * np.linalg.norm(w))
+    assert cos > 0.999  # same layer, finer quant grid
+
+
 def test_decoder_layer_fused_matches_unfused(layer):
     """Whole layer: fused == unfused up to the attention softmax impl (the
     Pallas flash kernel's exp2/deferred-normalization vs XLA softmax)."""
