@@ -27,38 +27,9 @@ from ..ops.norms import layer_norm
 
 LAYERNORM_EPS = 4e-5
 
-# below this many rows the fused Pallas LN/SwiGLU→quant epilogues lose to XLA's
-# fusions on launch overhead (the 61-token encoder stream stays on XLA)
-_FUSED_QUANT_MIN_ROWS = 1024
-
-
-def _use_fused_quant(wdict, x):
-    # Default OFF: measured neutral-to-negative on the v5e bench (+0.06s NAR)
-    # — XLA's producer-consumer fusions already keep the LN/silu chains near
-    # bandwidth, and 16k Pallas launches/trajectory eat the residual gain.
-    import os
-    if os.environ.get("MARS5_FUSED_EPILOGUE", "0") != "1":
-        return False
-    from ..ops.quant import is_quantized
-    if not (is_quantized(wdict) and "a8" in wdict) or "sg" in wdict:
-        return False
-    if x.shape[0] * x.shape[1] < _FUSED_QUANT_MIN_ROWS:
-        return False
-    from ..ops.pallas import enabled
-    return enabled()
-
-
-def _norm_quant(x, nw, nb, wdict):
-    """LayerNorm, fused with int8 act-quant when the consumer is W8A8 on TPU.
-
-    Returns either a normed bf16 tensor or a pre-quantized (xq, xs, dtype)
-    tuple — both accepted by ops/quant.linear_any / torch_mha.
-    """
-    if _use_fused_quant(wdict, x):
-        from ..ops.pallas.fused_quant import ln_quant
-        xq, xs = ln_quant(x, nw, nb, LAYERNORM_EPS)
-        return (xq, xs, x.dtype)
-    return layer_norm(x, nw, nb, LAYERNORM_EPS)
+# below this many rows the fused decoder-layer GEMM programs lose to XLA on
+# launch overhead (the 61-token encoder stream and tiny tests stay on XLA)
+_NAR_FUSED_MIN_ROWS = 1024
 
 
 def swiglu_ff(p, x):
@@ -66,35 +37,27 @@ def swiglu_ff(p, x):
 
     W and V are stored fused as ``WV`` (2F, D): one matmul then split (output
     rows are independent, so this is bitwise-identical to two dots and halves
-    the latency-bound matmul count). Kernels may be int8 dicts (ops/quant.py);
-    on the TPU W8A8 path the silu·mul + act-quant chain runs as one fused
-    Pallas pass (ops/pallas/fused_quant.silu_mul_quant).
+    the latency-bound matmul count). Kernels may be int8 dicts (ops/quant.py).
+    On the TPU W8A8 decoder path this whole chain instead runs inside the
+    fused Pallas FFN program (ops/pallas/nar_fused.fused_ffn via
+    decoder_layer_fused); standalone Pallas LN/silu→quant epilogue kernels
+    were measured NEGATIVE (+0.06s NAR: XLA's producer-consumer fusions
+    already keep these chains near bandwidth) and were removed in round 3 —
+    fusing the epilogues is only a win INSIDE the GEMM program.
     """
     from ..ops.quant import linear_any
-    import os
-    if (os.environ.get("MARS5_GEMM_X") and isinstance(p["WV"], dict)
-            and "a8" in p["WV"] and not isinstance(x, tuple)
-            and x.shape[1] >= 512):  # decoder-stack sites only (L=1200)
-        # round-3 Mosaic GEMM experiment hook (see ops/pallas/gemm_x.py)
-        from ..ops.pallas.gemm_x import wv_experiment
-        wv = wv_experiment(x, p["WV"]["q"], p["WV"]["s"])
-    else:
-        wv = linear_any(x, p["WV"])
-    if _use_fused_quant(p["lin2_w"], wv):
-        from ..ops.pallas.fused_quant import silu_mul_quant
-        uq, us = silu_mul_quant(wv)
-        return linear_any((uq, us, wv.dtype), p["lin2_w"], p["lin2_b"])
+    wv = linear_any(x, p["WV"])
     w_out, v_out = jnp.split(wv, 2, axis=-1)
     return linear_any(jax.nn.silu(w_out) * v_out, p["lin2_w"], p["lin2_b"])
 
 
 def encoder_layer(p, x, nhead: int, key_padding_mask=None):
-    h = _norm_quant(x, p["norm1_w"], p["norm1_b"], p["sa_in_w"])
+    h = layer_norm(x, p["norm1_w"], p["norm1_b"], LAYERNORM_EPS)
     x = x + torch_mha(
         {"in_proj_w": p["sa_in_w"], "in_proj_b": p["sa_in_b"],
          "out_w": p["sa_out_w"], "out_b": p["sa_out_b"]},
         h, h, nhead, key_padding_mask)
-    h = _norm_quant(x, p["norm2_w"], p["norm2_b"], p["WV"])
+    h = layer_norm(x, p["norm2_w"], p["norm2_b"], LAYERNORM_EPS)
     return x + swiglu_ff(p, h)
 
 
@@ -107,12 +70,10 @@ def _use_nar_fused(p, x):
     import os
     if os.environ.get("MARS5_NAR_FUSED", "1") != "1":
         return False
-    if isinstance(x, tuple):
-        return False
     from ..ops.quant import is_quantized
     if not (is_quantized(p["WV"]) and "a8" in p["WV"]):
         return False
-    if x.shape[0] * x.shape[1] < _FUSED_QUANT_MIN_ROWS:
+    if x.shape[0] * x.shape[1] < _NAR_FUSED_MIN_ROWS:
         return False
     from ..ops.pallas import enabled
     return enabled()
@@ -242,17 +203,17 @@ def decoder_layer(p, x, memory, nhead: int, tgt_key_padding_mask=None,
     if _use_nar_fused(p, x):
         return decoder_layer_fused(p, x, memory, nhead, tgt_key_padding_mask,
                                    memory_key_padding_mask)
-    h = _norm_quant(x, p["norm1_w"], p["norm1_b"], p["sa_in_w"])
+    h = layer_norm(x, p["norm1_w"], p["norm1_b"], LAYERNORM_EPS)
     x = x + torch_mha(
         {"in_proj_w": p["sa_in_w"], "in_proj_b": p["sa_in_b"],
          "out_w": p["sa_out_w"], "out_b": p["sa_out_b"]},
         h, h, nhead, tgt_key_padding_mask)
-    h = _norm_quant(x, p["norm2_w"], p["norm2_b"], p["ca_in_w"])
+    h = layer_norm(x, p["norm2_w"], p["norm2_b"], LAYERNORM_EPS)
     x = x + torch_mha(
         {"in_proj_w": p["ca_in_w"], "in_proj_b": p["ca_in_b"],
          "out_w": p["ca_out_w"], "out_b": p["ca_out_b"]},
         h, memory, nhead, memory_key_padding_mask)
-    h = _norm_quant(x, p["norm3_w"], p["norm3_b"], p["WV"])
+    h = layer_norm(x, p["norm3_w"], p["norm3_b"], LAYERNORM_EPS)
     return x + swiglu_ff(p, h)
 
 

@@ -90,13 +90,9 @@ def torch_mha(p, q_in, kv_in, nhead: int, key_padding_mask=None):
     """
     from .quant import linear_any, slice_rows
 
-    # q_in/kv_in may be pre-quantized (xq, xs, dtype) tuples from the fused
-    # LN→quant epilogue (ops/pallas/fused_quant.py) — shapes come from xq
-    q_shape = q_in[0].shape if isinstance(q_in, tuple) else q_in.shape
-    kv_shape = kv_in[0].shape if isinstance(kv_in, tuple) else kv_in.shape
-    d = q_shape[-1]
-    b, lq = q_shape[:2]
-    lk = kv_shape[1]
+    d = q_in.shape[-1]
+    b, lq = q_in.shape[:2]
+    lk = kv_in.shape[1]
     # One fused in_proj matmul for self-attention (XLA flattens the (3, D)
     # output axes into one GEMM, so this is bitwise-identical to the flat
     # (3D, D) kernel); for cross-attention, a q dot + one fused kv dot. Matmul

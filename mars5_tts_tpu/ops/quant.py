@@ -145,8 +145,9 @@ def linear_w8a8_t(x, qt, scale, b=None):
 
     Uses plain XLA dots (in-graph they run ~350 TOP/s at NAR shapes; standalone
     microbenches that report far less are measuring their own feedback relayout
-    — see CLAUDE.md). A fused Pallas GEMM (ops/pallas/gemm.py) measured slower
-    than the XLA emitter at these sizes and is kept only as a tested reference.
+    — see CLAUDE.md). A fused Pallas GEMM in the transposed (K, N) layout
+    measured slower than the XLA emitter at these sizes (the layout was the
+    whole gap — see ops/pallas/nar_fused.py for the (N, K) kernels that win).
     """
     xq, xs = quantize_act(x)
     y = jax.lax.dot_general(
@@ -278,36 +279,13 @@ def linear_w8a8_grouped(x, q, sg, b=None):
     return out.astype(x.dtype)
 
 
-def linear_w8a8_pre(xq, xs, q, scale, b=None, out_dtype=jnp.bfloat16):
-    """W8A8 dot with PRE-quantized activations (from a fused Pallas epilogue).
-
-    xq: (..., in) int8; xs: (..., 1) f32 per-row scales.
-    """
-    xs = xs.reshape(xs.shape[:-1] + (1,) * (q.ndim - 1))
-    y = jax.lax.dot_general(
-        xq, q,
-        dimension_numbers=(((xq.ndim - 1,), (q.ndim - 1,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    y = y.astype(jnp.float32) * (xs * scale.astype(jnp.float32))
-    if b is not None:
-        y = y + b
-    return y.astype(out_dtype)
-
-
 def linear_any(x, w, b=None):
     """linear() that accepts a plain kernel or an int8 dict.
 
     Dict layouts: {"q" (out,in), "s"} weight-only; +"a8" key = W8A8 (XLA);
-    {"qt" (in,out), "s"} = W8A8 through the fused Pallas GEMM.
-
-    ``x`` may be a pre-quantized ``(xq int8, xs f32 (...,1), out_dtype)`` tuple
-    produced by the fused LN/SwiGLU→quant Pallas epilogues
-    (ops/pallas/fused_quant.py); requires a W8A8 ("a8") kernel dict.
+    {"q", "sg"} = per-K-group scales (fused-kernel format; slow XLA fallback
+    here); {"qt" (in,out), "s"} = W8A8 against a pre-transposed kernel.
     """
-    if isinstance(x, tuple):
-        xq, xs, od = x
-        assert is_quantized(w) and "a8" in w, "pre-quantized input needs a W8A8 kernel"
-        return linear_w8a8_pre(xq, xs, w["q"], w["s"], b, out_dtype=od)
     if is_quantized(w):
         if "qt" in w:
             return linear_w8a8_t(x, w["qt"], w["s"], b)

@@ -8,7 +8,6 @@ trustworthy instrument) at a fraction of the compile time.
 
 Usage:
     python scripts/probe_declayer.py                 # int8 W8A8 stack
-    MARS5_GEMM_X=naive python scripts/probe_declayer.py   # WV variant swap
     PROBE_STEPS=40 PROBE_RUNS=3 python scripts/probe_declayer.py
 
 Interpretation: ms/step differences × 200 = NAR stage impact; per-layer
@@ -82,7 +81,6 @@ def main():
         "value": round(p50 / STEPS * 1e3, 3),
         "per_layer_us": round(p50 / STEPS / 16 * 1e6, 1),
         "steps": STEPS, "mode": MODE, "compile_s": round(compile_s, 1),
-        "gemm_x": os.environ.get("MARS5_GEMM_X", ""),
         "device": str(jax.devices()[0]),
     }))
 

@@ -142,44 +142,6 @@ def test_pallas_mha_quantized_close_to_fp(l, masked):
     np.testing.assert_allclose(out[bi, :, hi], mine, atol=2e-5, rtol=1e-4)
 
 
-def test_ln_quant_matches_unfused_chain():
-    """Fused LN→quant kernel == layer_norm + quantize_act, bitwise."""
-    from mars5_tts_tpu.ops.norms import layer_norm
-    from mars5_tts_tpu.ops.quant import quantize_act
-    from mars5_tts_tpu.ops.pallas.fused_quant import ln_quant
-
-    rng = np.random.default_rng(0)
-    b, l, d = 2, 70, 128      # l not a block multiple: exercises padding
-    x = jnp.asarray(rng.standard_normal((b, l, d)) * 3, jnp.bfloat16)
-    w = jnp.asarray(rng.standard_normal(d), jnp.float32)
-    bias = jnp.asarray(rng.standard_normal(d), jnp.float32)
-
-    ref_q, ref_s = quantize_act(layer_norm(x, w, bias, 4e-5))
-    q, s = ln_quant(x, w, bias, 4e-5, blk=32, interpret=True)
-    np.testing.assert_array_equal(np.asarray(q), np.asarray(ref_q))
-    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=1e-6)
-
-
-def test_silu_mul_quant_matches_unfused_chain():
-    """Fused silu·mul→quant kernel == swiglu elementwise + quantize_act."""
-    import jax
-    from mars5_tts_tpu.ops.quant import quantize_act
-    from mars5_tts_tpu.ops.pallas.fused_quant import silu_mul_quant
-
-    rng = np.random.default_rng(1)
-    b, l, f = 1, 50, 256
-    wv = jnp.asarray(rng.standard_normal((b, l, 2 * f)), jnp.bfloat16)
-    w_out, v_out = jnp.split(wv, 2, axis=-1)
-    ref_q, ref_s = quantize_act(jax.nn.silu(w_out) * v_out)
-    q, s = silu_mul_quant(wv, blk=16, interpret=True)
-    # the kernel computes silu in f32 with a bf16 round-trip (Mosaic cannot
-    # lower bf16 silu) and interpret mode upcasts bf16 math, so a few elements
-    # land 1-2 quantization levels off the unfused bf16 chain
-    diff = np.abs(np.asarray(q).astype(int) - np.asarray(ref_q).astype(int))
-    assert diff.max() <= 2 and (diff > 0).mean() < 0.05, (diff.max(), (diff > 0).mean())
-    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=1e-2)
-
-
 @pytest.mark.parametrize("quantized", [False, True])
 def test_pallas_mha_cross_attention(quantized):
     """Lk != Lq (decoder cross-attention shape): kernel matches XLA sdpa."""
