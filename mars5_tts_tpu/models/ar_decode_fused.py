@@ -231,15 +231,17 @@ def _fused_body_batched(fp, dims, cfg, s: ArSampling, st: FusedState,
     return _sample_and_update(logits, st, s, rows)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "dims", "s", "interpret"))
-def _generate_fused_batched_jit(params, fp, cfg: CodecLMConfig,
-                                dims: FusedDims, s: ArSampling, prompt_padded,
-                                prompt_len, spk_codes, uniforms, est_len,
-                                active, rows: RowSampling | None = None,
-                                interpret=False):
+@functools.partial(jax.jit, static_argnames=("cfg", "dims", "s"))
+def _fused_prefill_batched(params, cfg: CodecLMConfig, dims: FusedDims,
+                           s: ArSampling, prompt_padded, prompt_len, spk_codes,
+                           uniforms, est_len, active,
+                           rows: RowSampling | None = None) -> FusedState:
+    """Batched bf16-XLA prefill into the fused engine's state (int8 layer-flat
+    caches), including the first sampled token. Shared by one-shot batched
+    generation and the continuous-serving pool (which prefills per bucket and
+    then inserts rows into its live pool state)."""
     B = dims.batch
     L, Wp, d = dims.n_layers, dims.w_pad, dims.dim
-    # ---- prefill through the bf16 XLA graph (one pass, batched matmuls) ----
     spk_vec = spk_embedding(params, cfg, spk_codes)
     all_logits, kvs = codeclm_prefill(params, cfg, prompt_padded, spk_vec)
     k_full, v_full = kvs                     # (L, B, Pb+1, H, D)
@@ -266,13 +268,113 @@ def _generate_fused_batched_jit(params, fp, cfg: CodecLMConfig,
         kv_scales=kv_scales,
         counts=jnp.zeros((B, cfg.n_vocab), jnp.int32), uniforms=uniforms,
         est_len=est_len.astype(jnp.int32), done=~active)
-    st = _sample_and_update(last_logits, st, s, rows)
+    return _sample_and_update(last_logits, st, s, rows)
 
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dims", "s", "interpret"))
+def _generate_fused_batched_jit(params, fp, cfg: CodecLMConfig,
+                                dims: FusedDims, s: ArSampling, prompt_padded,
+                                prompt_len, spk_codes, uniforms, est_len,
+                                active, rows: RowSampling | None = None,
+                                interpret=False):
+    st = _fused_prefill_batched(params, cfg, dims, s, prompt_padded,
+                                prompt_len, spk_codes, uniforms, est_len,
+                                active, rows)
     final = jax.lax.while_loop(
         lambda t: ~jnp.all(t.done),
         lambda t: _fused_body_batched(fp, dims, cfg, s, t, rows, interpret),
         st)
     return final.tokens, final.cur, final.n_gen
+
+
+# ---------------------------------------------------------------------------
+# continuous-serving pool primitives (fused-engine twins of models/ar_decode's
+# make_parked_state / extract_row / insert_row / decode_chunk)
+
+def make_parked_state_fused(cfg: CodecLMConfig, dims: FusedDims,
+                            s: ArSampling) -> FusedState:
+    """An all-done batch FusedState (every row free) for a continuous batcher."""
+    B, L, Wp, d = dims.batch, dims.n_layers, dims.w_pad, dims.dim
+    return FusedState(
+        tokens=jnp.zeros((B, s.max_len), jnp.int32),
+        cur=jnp.zeros((B,), jnp.int32),
+        n_gen=jnp.zeros((B,), jnp.int32),
+        cache_k=jnp.zeros((L, B, Wp, d), jnp.int8),
+        cache_v=jnp.zeros((L, B, Wp, d), jnp.int8),
+        kv_scales=jnp.zeros((L, 2 * B, Wp), jnp.float32),
+        counts=jnp.zeros((B, cfg.n_vocab), jnp.int32),
+        uniforms=jnp.zeros((s.max_len, B), jnp.float32),
+        est_len=jnp.zeros((B,), jnp.int32),
+        done=jnp.ones((B,), bool))
+
+
+@jax.jit
+def extract_fused_row(state: FusedState, j) -> FusedState:
+    """Slice row ``j`` out of a batch FusedState as a 1-row piece.
+
+    kv_scales interleaves K rows [0, B) and V rows [B, 2B): the piece carries
+    its K scale at row 0 and V scale at row 1."""
+    B = state.cur.shape[0]
+    return FusedState(
+        tokens=jax.lax.dynamic_slice_in_dim(state.tokens, j, 1, 0),
+        cur=jax.lax.dynamic_slice_in_dim(state.cur, j, 1, 0),
+        n_gen=jax.lax.dynamic_slice_in_dim(state.n_gen, j, 1, 0),
+        cache_k=jax.lax.dynamic_slice_in_dim(state.cache_k, j, 1, 1),
+        cache_v=jax.lax.dynamic_slice_in_dim(state.cache_v, j, 1, 1),
+        kv_scales=jnp.concatenate([
+            jax.lax.dynamic_slice_in_dim(state.kv_scales, j, 1, 1),
+            jax.lax.dynamic_slice_in_dim(state.kv_scales, B + j, 1, 1)], 1),
+        counts=jax.lax.dynamic_slice_in_dim(state.counts, j, 1, 0),
+        uniforms=jax.lax.dynamic_slice_in_dim(state.uniforms, j, 1, 1),
+        est_len=jax.lax.dynamic_slice_in_dim(state.est_len, j, 1, 0),
+        done=jax.lax.dynamic_slice_in_dim(state.done, j, 1, 0))
+
+
+@jax.jit
+def insert_fused_row(state: FusedState, row: FusedState, b) -> FusedState:
+    """Write an extract_fused_row piece into slot ``b`` of a batch FusedState."""
+    B = state.cur.shape[0]
+    kvs = jax.lax.dynamic_update_slice(
+        state.kv_scales, row.kv_scales[:, 0:1], (0, b, 0))
+    kvs = jax.lax.dynamic_update_slice(
+        kvs, row.kv_scales[:, 1:2], (0, B + b, 0))
+    return FusedState(
+        tokens=jax.lax.dynamic_update_slice(state.tokens, row.tokens, (b, 0)),
+        cur=state.cur.at[b].set(row.cur[0]),
+        n_gen=state.n_gen.at[b].set(row.n_gen[0]),
+        cache_k=jax.lax.dynamic_update_slice(
+            state.cache_k, row.cache_k, (0, b, 0, 0)),
+        cache_v=jax.lax.dynamic_update_slice(
+            state.cache_v, row.cache_v, (0, b, 0, 0)),
+        kv_scales=kvs,
+        counts=jax.lax.dynamic_update_slice(state.counts, row.counts, (b, 0)),
+        uniforms=jax.lax.dynamic_update_slice(
+            state.uniforms, row.uniforms, (0, b)),
+        est_len=state.est_len.at[b].set(row.est_len[0]),
+        done=state.done.at[b].set(row.done[0]))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dims", "s", "n_steps",
+                                             "interpret"))
+def decode_chunk_fused(fp, cfg: CodecLMConfig, dims: FusedDims, s: ArSampling,
+                       state: FusedState, n_steps: int,
+                       rows: RowSampling | None = None,
+                       interpret=False) -> FusedState:
+    """Run at most n_steps fused decode iterations (early-out when all done).
+
+    The continuous-batching scheduling quantum on the int8/int4 megakernel:
+    rows decode independently, so chunked execution is bit-identical to the
+    monolithic while_loop per row (tested against ar_generate_fused_batched)."""
+    def cond(carry):
+        st, i = carry
+        return (~jnp.all(st.done)) & (i < n_steps)
+
+    def body(carry):
+        st, i = carry
+        return _fused_body_batched(fp, dims, cfg, s, st, rows, interpret), i + 1
+
+    final, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    return final
 
 
 def ar_generate_fused_batched(params, fp, cfg: CodecLMConfig, dims: FusedDims,

@@ -83,7 +83,7 @@ class ContinuousBatcher:
         self.batch_size = batch_size
         self.chunk_steps = chunk_steps
         self.spk_bucket = spk_bucket
-        self.state = make_parked_state(cfg, self.s, batch_size, dtype)
+        self.state = self._make_state(dtype)
         self.rows = rows_from_sampling(sampling, batch_size,
                                        cap_top_k=self.max_top_k)
         self.queue: list[Request] = []
@@ -91,6 +91,23 @@ class ContinuousBatcher:
         self.completed: list[Request] = []
         self.chunks_run = 0
         self.prefills_by_bucket: dict[int, int] = {b: 0 for b in self.prompt_buckets}
+
+    # ------------------------------------------------- engine hook methods
+    # (overridden by FusedContinuousBatcher; everything else is shared)
+    def _make_state(self, dtype):
+        return make_parked_state(self.cfg, self.s, self.batch_size, dtype)
+
+    def _do_prefill(self, pp, plens, spk, u, rows_b, n_real: int):
+        return prefill_row(self.params, self.cfg, self.s, pp, plens, spk, u,
+                           rows=rows_b)
+
+    def _insert(self, batch, j: int, slot: int) -> None:
+        row = extract_row(batch, jnp.int32(j))
+        self.state = insert_row(self.state, row, jnp.int32(slot))
+
+    def _decode(self) -> None:
+        self.state = decode_chunk(self.params, self.cfg, self.s, self.state,
+                                  self.chunk_steps, rows=self.rows)
 
     # ------------------------------------------------------------- lifecycle
     def _bucket_for(self, n: int) -> int:
@@ -148,13 +165,12 @@ class ContinuousBatcher:
                                                  req.sampling,
                                                  cap_top_k=self.max_top_k)
             rows_b = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *row_list)
-            batch = prefill_row(self.params, self.cfg, self.s, jnp.asarray(pp),
-                                jnp.asarray(plens), jnp.asarray(spk),
-                                jnp.asarray(u), rows=rows_b)
+            batch = self._do_prefill(jnp.asarray(pp), jnp.asarray(plens),
+                                     jnp.asarray(spk), jnp.asarray(u), rows_b,
+                                     len(group))
             self.prefills_by_bucket[bucket] += 1
             for j, (slot, req) in enumerate(group):
-                row = extract_row(batch, jnp.int32(j))
-                self.state = insert_row(self.state, row, jnp.int32(slot))
+                self._insert(batch, j, slot)
                 self.rows = insert_rows_sampling(self.rows, row_list[j],
                                                  jnp.int32(slot))
                 req._row = slot
@@ -174,8 +190,7 @@ class ContinuousBatcher:
         self._admit()
         if not self.active:
             return bool(self.queue)
-        self.state = decode_chunk(self.params, self.cfg, self.s, self.state,
-                                  self.chunk_steps, rows=self.rows)
+        self._decode()
         self.chunks_run += 1
         self._harvest()
         return bool(self.active or self.queue)
@@ -186,3 +201,59 @@ class ContinuousBatcher:
             if not self.step():
                 break
         return self.completed
+
+
+class FusedContinuousBatcher(ContinuousBatcher):
+    """Continuous batcher on the int8/int4 fused decode MEGAKERNEL.
+
+    Same scheduling/bucketing/per-request-sampling semantics as the base
+    class, but the pool decodes through the batched fused kernel
+    (models/ar_decode_fused): the int4 weight stream (~340 MB/step vs the XLA
+    engine's amortized bf16 1.4 GB) is shared by up to 8 rows riding the
+    8-sublane block the bs=1 kernel already pads to, so per-row decode cost
+    approaches 1/B of the single-stream kernel. Numeric contract is the fused
+    engine's (W8A8/int4 + int8 KV), NOT reference parity — quality gates in
+    tests/test_quant.py; row results are bit-identical to
+    ``ar_generate_fused_batched`` with the same uniforms (tested).
+
+    ``interpret``: None = pure-jnp emulation (CPU tests), False = compiled
+    kernel (TPU).
+    """
+
+    def __init__(self, params, cfg: CodecLMConfig, sampling: ArSampling, *,
+                 batch_size: int = 8, wbits: int = 4, interpret=False,
+                 **kw):
+        from ..models.ar_decode_fused import prepare_fused
+        if not 2 <= batch_size <= 8:
+            # batch_size 1 would hit the kernel's unbatched cache layout;
+            # use ar_generate_fused for single-stream serving
+            raise ValueError("fused pool batch_size must be in [2, 8]")
+        self.wbits = wbits
+        self.interpret = interpret
+        self.fp, self.dims = prepare_fused(params, cfg, sampling.max_len,
+                                           wbits=wbits, batch=batch_size)
+        super().__init__(params, cfg, sampling, batch_size=batch_size, **kw)
+
+    def _make_state(self, dtype):
+        from ..models.ar_decode_fused import make_parked_state_fused
+        return make_parked_state_fused(self.cfg, self.dims, self.s)
+
+    def _do_prefill(self, pp, plens, spk, u, rows_b, n_real: int):
+        from ..models.ar_decode_fused import _fused_prefill_batched
+        active = jnp.arange(self.batch_size) < n_real
+        est = jnp.full((self.batch_size,), self.s.n_phones_gen, jnp.int32)
+        return _fused_prefill_batched(self.params, self.cfg, self.dims, self.s,
+                                      pp, plens, spk, u, est, active,
+                                      rows=rows_b)
+
+    def _insert(self, batch, j: int, slot: int) -> None:
+        from ..models.ar_decode_fused import extract_fused_row, insert_fused_row
+        row = extract_fused_row(batch, jnp.int32(j))
+        self.state = insert_fused_row(self.state, row, jnp.int32(slot))
+
+    def _decode(self) -> None:
+        from ..models.ar_decode_fused import decode_chunk_fused
+        self.state = decode_chunk_fused(self.fp, self.cfg, self.dims, self.s,
+                                        self.state, self.chunk_steps,
+                                        rows=self.rows,
+                                        interpret=self.interpret)

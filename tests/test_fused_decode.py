@@ -277,6 +277,39 @@ def test_batched_generation_rows_match_single(setup):
         assert ((gen >= 10) & (gen < 510)).all()
 
 
+def test_fused_continuous_batcher_matches_oneshot(setup):
+    """FusedContinuousBatcher (chunked pool, admissions mid-flight) produces
+    the same tokens as one-shot ar_generate_fused_batched per request."""
+    from mars5_tts_tpu.models.ar_decode_fused import ar_generate_fused_batched
+    from mars5_tts_tpu.serving.continuous import (FusedContinuousBatcher,
+                                                  Request)
+    params, _, _ = setup
+    s = ArSampling(temperature=0.7, top_k=50, top_p=0.2, n_phones_gen=100,
+                   eos_idx=0, valid_start=10, valid_end=510, max_len=MAX_LEN)
+    rng = np.random.default_rng(2)
+    n_req = 3
+    prompts = [rng.integers(10, 510, int(n)) for n in rng.integers(5, 14, n_req)]
+    spks = [rng.integers(0, 1024, (int(m), 8)) for m in rng.integers(4, 9, n_req)]
+    uniforms = [rng.random(MAX_LEN).astype(np.float32) for _ in range(n_req)]
+
+    batcher = FusedContinuousBatcher(params, CFG, s, batch_size=2, wbits=8,
+                                     chunk_steps=9, prompt_buckets=(16,),
+                                     spk_bucket=16, interpret=None)
+    reqs = [batcher.submit(Request(prompt=p, spk_codes=k, uniforms=u))
+            for p, k, u in zip(prompts, spks, uniforms)]
+    completed = batcher.run()
+    assert len(completed) == n_req
+    assert batcher.chunks_run > 1   # several quanta: admissions mid-flight
+
+    fp1, dims1 = prepare_fused(params, CFG, max_len=MAX_LEN, wbits=8, batch=1)
+    for req, p, k, u in zip(reqs, prompts, spks, uniforms):
+        (ref_seq, ref_n), = ar_generate_fused_batched(
+            params, fp1, CFG, dims1, [p], [k], sampling=s,
+            uniforms=u[:, None], interpret=None)
+        assert req.n_gen == ref_n, f"n_gen {req.n_gen} != {ref_n}"
+        np.testing.assert_array_equal(req.tokens, ref_seq)
+
+
 def test_fused_generation_token_identical(setup):
     params, fp, dims = setup
     s = ArSampling(temperature=0.7, top_k=50, top_p=0.2, n_phones_gen=100,
