@@ -30,6 +30,9 @@ N_REQ = int(os.environ.get("N_REQ", "12"))
 ROWS = int(os.environ.get("ROWS", "4"))
 CHUNK = int(os.environ.get("CHUNK", "64"))
 GEN_FRAMES = 750  # 10 s each
+# AR pool engine: "xla" (bf16 XLA decode) | "fused4" | "fused8" (the batched
+# int4/int8 megakernel pool — weight stream shared across rows)
+AR_ENGINE = os.environ.get("AR_ENGINE", "xla")
 
 
 def main():
@@ -38,6 +41,7 @@ def main():
     from mars5_tts_tpu.models.ar_decode import ArSampling
     from mars5_tts_tpu.models.encodec import encodec_encode
     from mars5_tts_tpu.serving import ContinuousBatcher, Request
+    from mars5_tts_tpu.serving.continuous import FusedContinuousBatcher
 
     cfgs, params = bench.build()
     ar_cfg, nar_cfg, enc_cfg, voc_cfg = cfgs
@@ -63,17 +67,25 @@ def main():
                                  prompt_codec[0, 0] + n_text])
         return Request(prompt=prompt, spk_codes=spk, seed=i)
 
+    def make_batcher():
+        if AR_ENGINE == "xla":
+            return ContinuousBatcher(ar, ar_cfg, sampling, batch_size=ROWS,
+                                     chunk_steps=CHUNK,
+                                     prompt_bucket=prompt_bucket,
+                                     spk_bucket=512, dtype=jnp.bfloat16)
+        wbits = 4 if AR_ENGINE == "fused4" else 8
+        return FusedContinuousBatcher(ar, ar_cfg, sampling, batch_size=ROWS,
+                                      wbits=wbits, chunk_steps=CHUNK,
+                                      prompt_bucket=prompt_bucket,
+                                      spk_bucket=512)
+
     # warmup: compile prefill + chunk
-    warm = ContinuousBatcher(ar, ar_cfg, sampling, batch_size=ROWS,
-                             chunk_steps=CHUNK, prompt_bucket=prompt_bucket,
-                             spk_bucket=512, dtype=jnp.bfloat16)
+    warm = make_batcher()
     warm.submit(make_request(0))
     warm.step()
     warm.run(max_quanta=40)
 
-    batcher = ContinuousBatcher(ar, ar_cfg, sampling, batch_size=ROWS,
-                                chunk_steps=CHUNK, prompt_bucket=prompt_bucket,
-                                spk_bucket=512, dtype=jnp.bfloat16)
+    batcher = make_batcher()
     reqs = [make_request(i + 1) for i in range(N_REQ)]
     # staggered arrivals: half up front, the rest fed as quanta complete
     for r in reqs[: N_REQ // 2]:
@@ -92,6 +104,7 @@ def main():
     frames = sum(r.n_gen for r in batcher.completed)
     audio_s = frames / 75.0
     detail = {"requests": N_REQ, "rows": ROWS, "chunk_steps": CHUNK,
+              "ar_engine": AR_ENGINE,
               "ar_wall_s": round(wall, 2), "quanta": batcher.chunks_run,
               "frames": int(frames),
               "ar_audio_s_per_s": round(audio_s / wall, 3)}
