@@ -86,20 +86,26 @@ def main():
                                           uniforms=ar_uniforms, interpret=False)
         return time.perf_counter() - t0, np.asarray(tokens)
 
-    def nar_stage(nar_p, l0, T):
+    def nar_stage(nar_p, l0, T, env=None):
         diff = MultinomialDiffusion(1025, timesteps=T)
         dsh = DSH(last_greedy=True, x_0_temp=0.7, guidance_w=3.0, deep_clone=True,
                   q0_override_steps=min(20, T // 10),
                   enable_kevin_scaled_inference=True)
         _x = np.repeat(l0[None, :, None], 8, axis=2)
-        t0 = time.perf_counter()
-        grid = np.asarray(perform_simple_inference(
-            nar_p, nar_cfg,
-            (base_text, prompt_codec.transpose(0, 2, 1),
-             np.asarray([text_len]), np.asarray([n_prompt]), _x,
-             np.zeros((1, gen_frames), bool)),
-            diff, T, dsh, key=jax.random.key(1, impl="rbg")))
-        return time.perf_counter() - t0, grid
+        old = {k: os.environ.get(k) for k in (env or {})}
+        os.environ.update(env or {})
+        try:
+            t0 = time.perf_counter()
+            grid = np.asarray(perform_simple_inference(
+                nar_p, nar_cfg,
+                (base_text, prompt_codec.transpose(0, 2, 1),
+                 np.asarray([text_len]), np.asarray([n_prompt]), _x,
+                 np.zeros((1, gen_frames), bool)),
+                diff, T, dsh, key=jax.random.key(1, impl="rbg")))
+            return time.perf_counter() - t0, grid
+        finally:
+            for k, v in old.items():
+                os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
 
     base_text = rng.integers(0, n_text, (1, text_len))
 
@@ -129,11 +135,19 @@ def main():
     nar_stage(nar, l0, 200)                  # warm
     t_ref, ref_grid = nar_stage(nar, l0, 200)
     nar_out = {"bf16_T200": (t_ref, 1.0, 0.0)}
-    for name, nar_p, T in [("int8_T200", nar_int8, 200),
-                           ("int8_T100", nar_int8, 100),
-                           ("int8_T50", nar_int8, 50)]:
-        nar_stage(nar_p, l0, T)              # warm
-        t_nar, grid = nar_stage(nar_p, l0, T)
+    # per-K-group (gsize=128) weight+act scales on the fused-GEMM sites —
+    # the round-3 fidelity dial (ops/quant.quantize_weight_grouped)
+    from mars5_tts_tpu.models.layers import nar_w_group_keys
+    gsize = int(os.environ.get("QMODES_GSIZE", "128"))
+    nar_g = quantize_nar(nar, w_gsize=gsize, w_group_keys=nar_w_group_keys())
+    genv = {"MARS5_NARF_GSIZE": str(gsize)}
+    for name, nar_p, T, env in [
+            ("int8_T200", nar_int8, 200, None),
+            (f"int8_g{gsize}_T200", nar_g, 200, genv),
+            ("int8_T100", nar_int8, 100, None),
+            ("int8_T50", nar_int8, 50, None)]:
+        nar_stage(nar_p, l0, T, env)         # warm
+        t_nar, grid = nar_stage(nar_p, l0, T, env)
         agree = float((grid[..., 1:] == ref_grid[..., 1:]).mean())
         nar_out[name] = (t_nar, round(agree, 4),
                          round(vocos_proxy(grid, ref_grid), 4))
