@@ -117,14 +117,21 @@ class Mars5TTS:
             self.codecnar = quantize_nar(self.codecnar, w_gsize=gs,
                                          w_group_keys=nar_w_group_keys())
 
-    def _get_fused(self, max_len: int):
-        """Lazily build (and cache, keyed by max_len) the fused decode pack."""
+    def _get_fused(self, max_len: int, batch: int = 1):
+        """Lazily build (and cache, keyed by max_len) the fused decode pack.
+
+        The quantized pack itself is batch-independent; batched callers get
+        the cached pack with a batch-adjusted dims."""
         if max_len not in self._fused_cache:
             from .models.ar_decode_fused import prepare_fused
             wbits = 4 if self.ar_backend == "fused4" else 8
             self._fused_cache[max_len] = prepare_fused(
                 self.codeclm, self.ar_cfg, max_len=max_len, wbits=wbits)
-        return self._fused_cache[max_len]
+        fp, dims = self._fused_cache[max_len]
+        if batch != dims.batch:
+            import dataclasses
+            dims = dataclasses.replace(dims, batch=batch)
+        return fp, dims
 
     @classmethod
     def from_local(cls, ar_path, nar_path, **kwargs) -> "Mars5TTS":
@@ -385,9 +392,22 @@ class Mars5TTS:
                 valid_end=len(self.texttok.vocab) + len(self.speechtok.vocab) + 1,
                 max_len=max_len)
             spk_list = [prompt_codec[0].T] * len(texts)
-            outs = ar_generate_batched(self.codeclm, self.ar_cfg, prompts, spk_list,
-                                       sampling=sampling, seed=seed,
-                                       est_lens=np.asarray(est_lens))
+            from .ops.pallas import enabled as _pallas_enabled
+            if (self.ar_backend != "bf16" and cfg.use_kv_cache
+                    and 2 <= len(texts) <= 8 and _pallas_enabled()):
+                # batched megakernel decode: the int8/int4 weight stream is
+                # shared across the rows (same quality contract as the bs=1
+                # fused path; tests/test_quant.py)
+                from .models.ar_decode_fused import ar_generate_fused_batched
+                fp, dims = self._get_fused(max_len, batch=len(texts))
+                outs = ar_generate_fused_batched(
+                    self.codeclm, fp, self.ar_cfg, dims, prompts, spk_list,
+                    sampling=sampling, seed=seed, est_lens=np.asarray(est_lens))
+            else:
+                outs = ar_generate_batched(self.codeclm, self.ar_cfg, prompts,
+                                           spk_list, sampling=sampling,
+                                           seed=seed,
+                                           est_lens=np.asarray(est_lens))
 
         with timer.stage("parse_ar"):
             rows = []

@@ -25,6 +25,8 @@ BATCH = int(os.environ.get("BATCH", "4"))
 BENCH_RUNS = int(os.environ.get("BENCH_RUNS", "2"))
 AUDIO_SECONDS = 10.0
 REF_SECONDS = 6.0
+# "xla" (bf16 batched engine) | "fused4" | "fused8" (batched megakernel)
+AR_ENGINE = os.environ.get("AR_ENGINE", "xla")
 
 
 def main():
@@ -58,10 +60,23 @@ def main():
         eos_penalty_factor=1.0, n_phones_gen=10_000, eos_idx=0,
         valid_start=n_text, valid_end=24_001, max_len=max_len)
 
+    fused = None
+    if AR_ENGINE != "xla":
+        from mars5_tts_tpu.models.ar_decode_fused import (
+            ar_generate_fused_batched, prepare_fused)
+        fused = prepare_fused(ar, ar_cfg, max_len=max_len,
+                              wbits=4 if AR_ENGINE == "fused4" else 8,
+                              batch=BATCH)
+
     def run_once(seed):
         t0 = time.perf_counter()
-        outs = ar_generate_batched(ar, ar_cfg, prompts, spks, sampling=sampling,
-                                   seed=seed)
+        if fused is not None:
+            outs = ar_generate_fused_batched(ar, fused[0], ar_cfg, fused[1],
+                                             prompts, spks, sampling=sampling,
+                                             seed=seed)
+        else:
+            outs = ar_generate_batched(ar, ar_cfg, prompts, spks,
+                                       sampling=sampling, seed=seed)
         l0 = np.stack([
             np.pad((seq[len(p):] - n_text).clip(0, 1023), (0, max_len - len(seq)))[:gen_frames]
             for (seq, _), p in zip(outs, prompts)])
@@ -103,7 +118,8 @@ def main():
         "detail": {"p50_total_s": round(p50, 3),
                    "stages_s": {k: round(float(np.median([r[1][k] for r in results])), 3)
                                 for k in results[0][1]},
-                   "int8": os.environ.get("BENCH_INT8") == "1"},
+                   "int8": os.environ.get("BENCH_INT8") == "1",
+                   "ar_engine": AR_ENGINE},
     }))
 
 
