@@ -310,6 +310,40 @@ def test_fused_continuous_batcher_matches_oneshot(setup):
         np.testing.assert_array_equal(req.tokens, ref_seq)
 
 
+def test_fused_pool_per_request_sampling(setup):
+    """Per-request sampling overrides in the fused pool == standalone fused
+    runs whose static ArSampling carries the same values."""
+    import dataclasses
+    from mars5_tts_tpu.models.ar_decode_fused import ar_generate_fused_batched
+    from mars5_tts_tpu.serving.continuous import (FusedContinuousBatcher,
+                                                  Request)
+    params, _, _ = setup
+    s = ArSampling(temperature=0.7, top_k=50, top_p=0.2, n_phones_gen=100,
+                   eos_idx=0, valid_start=10, valid_end=510, max_len=MAX_LEN)
+    overrides = [{"temperature": 1.2, "top_k": 20}, {"top_p": 0.6}]
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(10, 510, n) for n in (8, 11)]
+    spks = [rng.integers(0, 1024, (6, 8))] * 2
+    uniforms = [rng.random(MAX_LEN).astype(np.float32) for _ in range(2)]
+
+    batcher = FusedContinuousBatcher(params, CFG, s, batch_size=2, wbits=8,
+                                     chunk_steps=11, prompt_buckets=(16,),
+                                     spk_bucket=16, interpret=None)
+    reqs = [batcher.submit(Request(prompt=p, spk_codes=k, uniforms=u,
+                                   sampling=o))
+            for p, k, u, o in zip(prompts, spks, uniforms, overrides)]
+    batcher.run()
+
+    fp1, dims1 = prepare_fused(params, CFG, max_len=MAX_LEN, wbits=8, batch=1)
+    for req, p, k, u, o in zip(reqs, prompts, spks, uniforms, overrides):
+        s_i = dataclasses.replace(s, **o)
+        (ref_seq, ref_n), = ar_generate_fused_batched(
+            params, fp1, CFG, dims1, [p], [k], sampling=s_i,
+            uniforms=u[:, None], interpret=None)
+        assert req.n_gen == ref_n
+        np.testing.assert_array_equal(req.tokens, ref_seq)
+
+
 def test_fused_generation_token_identical(setup):
     params, fp, dims = setup
     s = ArSampling(temperature=0.7, top_k=50, top_p=0.2, n_phones_gen=100,
