@@ -204,6 +204,16 @@ def test_wgrouped_xla_fallback_matches_kernel(layer, rng):
     want = linear_any(x, w)
     _assert_fused_eq(got, want, exact_frac=0.4)
 
+    # stacked (3, D, D) grouped kernel through the fallback (sg (3, G, D)):
+    # per-third results must equal the flat per-third fallback
+    w3 = _gd(rng.standard_normal((3, d, d)) * 0.05, gsize)
+    y3 = linear_any(x, w3)                          # (B, L, 3, D)
+    assert y3.shape == x.shape[:2] + (3, d)
+    for i in range(3):
+        flat = {"q": w3["q"][i], "sg": w3["sg"][i], "a8": jnp.zeros(())}
+        np.testing.assert_array_equal(np.asarray(y3[..., i, :]),
+                                      np.asarray(linear_any(x, flat)))
+
 
 def test_wgrouped_tighter_than_per_row(layer, rng):
     """Grouped weight+act scales beat per-row accuracy vs the fp32 product."""
