@@ -31,6 +31,15 @@ from .diffusion import MultinomialDiffusion, perform_simple_inference
 from .hub import load_checkpoint, load_tokenizers
 from .models.ar import CodecLMConfig, spk_embedding
 from .models.ar_decode import ArSampling, ar_generate, ar_generate_nocache
+
+
+def _fused_interpret():
+    """Off-TPU execution mode for the fused AR branches (tests/CI):
+    MARS5_FUSED_INTERPRET=emu -> pure-jnp emulation (None), =1 -> Pallas
+    interpreter (True), unset -> False (fused branches require a real TPU)."""
+    import os
+    v = os.environ.get("MARS5_FUSED_INTERPRET", "")
+    return None if v == "emu" else True if v == "1" else False
 from .models.convert import convert_codeclm, convert_nar
 from .models.encodec import EncodecConfig, encodec_encode
 from .models.nar import ResidualTransformerConfig
@@ -263,12 +272,13 @@ class Mars5TTS:
                 max_len=max_len)
             from .ops.pallas import enabled as _pallas_enabled
             if (self.ar_backend != "bf16" and cfg.use_kv_cache
-                    and _pallas_enabled()):
+                    and (_pallas_enabled() or _fused_interpret() is not False)):
                 from .models.ar_decode_fused import ar_generate_fused
                 fp, dims = self._get_fused(max_len)
                 ar_codes, _ = ar_generate_fused(
                     self.codeclm, fp, self.ar_cfg, dims, prompt, spk_ref_codec,
-                    sampling=sampling, seed=seed)
+                    sampling=sampling, seed=seed,
+                    interpret=False if _pallas_enabled() else _fused_interpret())
             else:
                 gen_fn = ar_generate if cfg.use_kv_cache else ar_generate_nocache
                 ar_codes, _ = gen_fn(self.codeclm, self.ar_cfg, prompt,
@@ -394,7 +404,8 @@ class Mars5TTS:
             spk_list = [prompt_codec[0].T] * len(texts)
             from .ops.pallas import enabled as _pallas_enabled
             if (self.ar_backend != "bf16" and cfg.use_kv_cache
-                    and 2 <= len(texts) <= 8 and _pallas_enabled()):
+                    and 2 <= len(texts) <= 8
+                    and (_pallas_enabled() or _fused_interpret() is not False)):
                 # batched megakernel decode: the int8/int4 weight stream is
                 # shared across the rows (same quality contract as the bs=1
                 # fused path; tests/test_quant.py)
@@ -402,7 +413,8 @@ class Mars5TTS:
                 fp, dims = self._get_fused(max_len, batch=len(texts))
                 outs = ar_generate_fused_batched(
                     self.codeclm, fp, self.ar_cfg, dims, prompts, spk_list,
-                    sampling=sampling, seed=seed, est_lens=np.asarray(est_lens))
+                    sampling=sampling, seed=seed, est_lens=np.asarray(est_lens),
+                    interpret=False if _pallas_enabled() else _fused_interpret())
             else:
                 outs = ar_generate_batched(self.codeclm, self.ar_cfg, prompts,
                                            spk_list, sampling=sampling,

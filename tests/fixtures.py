@@ -34,11 +34,15 @@ def make_tokenizer_strings():
     return texttok, speechtok, text_str, speech_str
 
 
-def make_tiny_mars5(tmpdir, seed: int = 0):
+def make_tiny_mars5(tmpdir, seed: int = 0, fused_geom: bool = False):
     """Create tiny AR/NAR safetensors checkpoints + codec params + configs.
 
     Returns (mars5, info) where mars5 is a constructed Mars5TTS and info carries
     the checkpoint paths/configs for direct-load tests.
+
+    ``fused_geom``: use an AR geometry the fused decode kernel accepts
+    (dim 256 = 4 heads x 64, hidden 1024 — dim % 128 == 0, hidden/2 % 128 == 0)
+    so pipeline tests can drive the fused branches in interpret/emulation mode.
     """
     import torch
 
@@ -59,16 +63,27 @@ def make_tiny_mars5(tmpdir, seed: int = 0):
     n_vocab = len(texttok.vocab) + len(speechtok.vocab)      # 258 + 1025
     n_text_vocab = len(texttok.vocab) + 1
 
-    ar_torch = ref_model.CodecLM(n_vocab=n_vocab, dim=64, nhead=2, n_layers=2,
-                                 n_spk_layers=2, dim_ff_scale=1.5,
-                                 sliding_window=3000).eval()
+    if fused_geom:
+        ar_torch = ref_model.CodecLM(n_vocab=n_vocab, dim=256, nhead=4,
+                                     n_layers=2, n_spk_layers=2, dim_ff_scale=4,
+                                     sliding_window=3000).eval()
+    else:
+        ar_torch = ref_model.CodecLM(n_vocab=n_vocab, dim=64, nhead=2, n_layers=2,
+                                     n_spk_layers=2, dim_ff_scale=1.5,
+                                     sliding_window=3000).eval()
     nar_torch = ref_model.ResidualTransformer(
         n_text_vocab=n_text_vocab, n_quant=1025, dim=64, nhead=4, enc_layers=2,
         dec_layers=2, n_spk_layers=2, t_emb_dim=64, p_cond_drop=0, dropout=0).eval()
 
-    ar_cfg = CodecLMConfig(n_vocab=n_vocab, dim=64, n_heads=2, n_kv_heads=2,
-                           head_dim=64, n_layers=2, hidden_dim=96,
-                           sliding_window=3000, n_spk_layers=2, spk_hidden_dim=192)
+    if fused_geom:
+        ar_cfg = CodecLMConfig(n_vocab=n_vocab, dim=256, n_heads=4, n_kv_heads=4,
+                               head_dim=64, n_layers=2, hidden_dim=1024,
+                               sliding_window=3000, n_spk_layers=2,
+                               spk_hidden_dim=768)
+    else:
+        ar_cfg = CodecLMConfig(n_vocab=n_vocab, dim=64, n_heads=2, n_kv_heads=2,
+                               head_dim=64, n_layers=2, hidden_dim=96,
+                               sliding_window=3000, n_spk_layers=2, spk_hidden_dim=192)
     nar_cfg = ResidualTransformerConfig(n_text_vocab=n_text_vocab, n_quant=1025,
                                         dim=64, nhead=4, enc_layers=2, dec_layers=2,
                                         n_spk_layers=2, t_emb_dim=64, hidden_dim=192)

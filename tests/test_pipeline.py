@@ -161,6 +161,39 @@ def test_tts_backend_knobs(tiny_mars5, tmp_path):
     assert np.isfinite(np.asarray(wav2)).all()
 
 
+def test_tts_fused_branches_interpret(tmp_path_factory, monkeypatch):
+    """The TPU-only fused AR branches of tts/tts_batch, driven on CPU via
+    MARS5_FUSED_INTERPRET=emu (pure-jnp kernel emulation) at a kernel-legal
+    geometry — exercises the pipeline glue (prompt/spk/est plumbing, pack
+    cache incl. batch-adjusted dims) end-to-end."""
+    import numpy as np
+    from tests.fixtures import make_tiny_mars5
+    from mars5_tts_tpu.config import InferenceConfig
+    from mars5_tts_tpu.pipeline import Mars5TTS
+
+    mars5, info = make_tiny_mars5(
+        str(tmp_path_factory.mktemp("ckpt_fused")), fused_geom=True)
+    m2 = Mars5TTS.from_local(info["ar_path"], info["nar_path"],
+                             encodec_params=mars5.encodec,
+                             vocos_params=mars5.vocos,
+                             ar_cfg=mars5.ar_cfg, nar_cfg=mars5.nar_cfg,
+                             encodec_cfg=mars5.encodec_cfg,
+                             vocos_cfg=mars5.vocos_cfg,
+                             ar_backend="fused4", nar_backend="int8")
+    monkeypatch.setenv("MARS5_FUSED_INTERPRET", "emu")
+    rng = np.random.default_rng(0)
+    ref_audio = (rng.standard_normal(2400) * 0.05).astype(np.float32)
+    cfg = InferenceConfig(deep_clone=False, rep_penalty_window=8,
+                          timesteps=4, generate_max_len_override=24)
+    ar, wav = m2.tts("hi", ref_audio, "", cfg=cfg, seed=3)
+    assert np.isfinite(np.asarray(wav)).all()
+
+    outs = m2.tts_batch(["hi", "yo there"], ref_audio, "", cfg=cfg, seed=3)
+    assert len(outs) == 2
+    for codes, w in outs:
+        assert np.isfinite(np.asarray(w)).all()
+
+
 def test_deploy_predictor_end_to_end(tiny_mars5, tmp_path):
     """deploy/predict.Predictor: setup from checkpoints + WAV-in/WAV-out."""
     import sys
