@@ -160,7 +160,7 @@ def run_once(cfgs, params, seed=0, timings=None):
     return timer.total
 
 
-def main():
+def _main():
     cfgs, params = build()
     # warmup / compile
     run_once(cfgs, params, seed=0)
@@ -185,6 +185,31 @@ def main():
                    "ar_mode": BENCH_AR, "nar_mode": BENCH_NAR,
                    "device": str(jax.devices()[0])},
     }))
+
+
+def main():
+    """Run the bench with transient-tunnel retries.
+
+    The axon PJRT tunnel occasionally drops mid-run (UNAVAILABLE / broken
+    pipe) or is briefly down at process start; a measurement harness must not
+    report zero for an infra blip, so retry a few times with a backoff. Real
+    failures (shape/compile errors) are not retried."""
+    retries = int(os.environ.get("BENCH_RETRIES", "3"))
+    for attempt in range(retries + 1):
+        try:
+            return _main()
+        except Exception as e:  # noqa: BLE001 — retry only infra signatures
+            msg = str(e)
+            transient = any(s in msg for s in (
+                "UNAVAILABLE", "Broken pipe", "Unable to initialize backend",
+                "FAILED_PRECONDITION", "remote_compile", "DEADLINE_EXCEEDED"))
+            if not transient or attempt == retries:
+                raise
+            wait = 120 * (attempt + 1)
+            print(f"bench: transient backend error (attempt {attempt + 1}/"
+                  f"{retries + 1}), retrying in {wait}s: {msg.splitlines()[0][:160]}",
+                  file=sys.stderr, flush=True)
+            time.sleep(wait)
 
 
 if __name__ == "__main__":
