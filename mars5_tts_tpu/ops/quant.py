@@ -44,6 +44,35 @@ def linear_q8(x, q, scale, b=None):
     return y.astype(x.dtype)
 
 
+def quantize_weight_mse(w, levels: int, axis: int = -1,
+                        ratios=(1.0, 0.9, 0.8, 0.7, 0.6)):
+    """Symmetric int quantization with a per-channel MSE-optimal clip search.
+
+    At int8 the amax scale is already ≈ MSE-optimal for transformer weights
+    (CLAUDE.md quant-fidelity notes), but at int4 (``levels=7``) amax wastes
+    most of the 15-level grid on the tail of the row distribution: for a
+    Gaussian row of ~1.5k entries, clipping at ~0.6-0.8 of amax cuts the
+    round-trip MSE by ~20-30%. Pack-time only — the kernels are unchanged.
+    Returns (q, scale) like quantize_weight.
+    """
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+    best_err = None
+    best_scale = None
+    for r in ratios:
+        scale = jnp.maximum(amax * (r / levels), 1e-12)
+        q = jnp.clip(jnp.round(wf / scale), -levels, levels)
+        err = jnp.sum(jnp.square(q * scale - wf), axis=axis, keepdims=True)
+        if best_err is None:
+            best_err, best_scale = err, scale
+        else:
+            take = err < best_err
+            best_err = jnp.where(take, err, best_err)
+            best_scale = jnp.where(take, scale, best_scale)
+    q = jnp.clip(jnp.round(wf / best_scale), -levels, levels).astype(jnp.int8)
+    return q, best_scale.squeeze(axis)
+
+
 def quantize_weight_grouped(w, gsize: int, levels: int = 127):
     """Per-(output-channel, K-group) symmetric int8: finer than per-row.
 

@@ -195,3 +195,19 @@ def test_fused_step_logit_error(wbits, budget):
     rel = np.abs(lr - lf).max() / scale
     assert rel < budget, (
         f"fused step relative logit error {rel:.4f} (wbits={wbits})")
+
+
+def test_int4_mse_scales_beat_amax():
+    """quantize_weight_mse at 4 bits strictly reduces round-trip MSE vs amax
+    (at int8 amax is already near-optimal; the gain is the int4 pack's)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mars5_tts_tpu.ops.quant import quantize_weight, quantize_weight_mse
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((4, 96, 256)) * 0.04, jnp.float32)
+    qa, sa = quantize_weight(w, axis=-1, levels=7)
+    qm, sm = quantize_weight_mse(w, levels=7)
+    e_amax = float(jnp.mean(jnp.square(qa * sa[..., None] - w)))
+    e_mse = float(jnp.mean(jnp.square(qm * sm[..., None] - w)))
+    assert e_mse < 0.9 * e_amax, (e_mse, e_amax)
