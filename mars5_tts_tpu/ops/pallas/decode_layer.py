@@ -614,11 +614,17 @@ def build_fused_pack(params, cfg, dims: FusedDims):
 
         int4 scales come from a per-row MSE-optimal clip search (amax wastes
         the 15-level grid on the row tail at 4 bits; see quantize_weight_mse)
-        — pack-time only, the kernel math is unchanged."""
-        from ..quant import quantize_weight_mse
+        — pack-time only, the kernel math is unchanged. MARS5_INT4_MSE=0
+        reverts to plain amax scales (A/B knob; the clip search trades a
+        slightly larger max per-row error for a lower mean error)."""
         d2 = w.shape[-1] // 2
-        qa, sa = quantize_weight_mse(w[..., :d2], levels=7)
-        qb, sb = quantize_weight_mse(w[..., d2:], levels=7)
+        if os.environ.get("MARS5_INT4_MSE", "1") == "1":
+            from ..quant import quantize_weight_mse
+            qa, sa = quantize_weight_mse(w[..., :d2], levels=7)
+            qb, sb = quantize_weight_mse(w[..., d2:], levels=7)
+        else:
+            qa, sa = quantize_weight(w[..., :d2], axis=-1, levels=7)
+            qb, sb = quantize_weight(w[..., d2:], axis=-1, levels=7)
         return _pack4(qa, qb), jnp.stack([sa, sb], axis=1).astype(jnp.float32)
 
     if w4:
@@ -629,8 +635,11 @@ def build_fused_pack(params, cfg, dims: FusedDims):
         w1, s1 = q4(layers["w1"])
         w3, s3 = q4(layers["w3"])
         # w2: per-output (d) int4 scale, nibble-pack the transposed OUTPUT cols
-        from ..quant import quantize_weight_mse
-        w2q, s2 = quantize_weight_mse(layers["w2"], levels=7)
+        if os.environ.get("MARS5_INT4_MSE", "1") == "1":
+            from ..quant import quantize_weight_mse
+            w2q, s2 = quantize_weight_mse(layers["w2"], levels=7)
+        else:
+            w2q, s2 = quantize_weight(layers["w2"], axis=-1, levels=7)
         s2 = s2.astype(jnp.float32)
         w2t_full = jnp.transpose(w2q, (0, 2, 1))       # (L, hidden, d)
         w2t = _pack4(w2t_full[..., : d // 2], w2t_full[..., d // 2:])

@@ -147,7 +147,9 @@ def test_fused_step_logit_error(wbits, budget):
     the logit scale — this, not token drift on random weights, is the
     meaningful per-step quality gate for BOTH serving wbits (the primary
     replacement for the chance-level token-agreement smoke; measured values
-    at this geometry: 0.0085 int8, 0.0247 int4 — budgets carry ~2x margin).
+    at this geometry: 0.0085 int8, ~0.03 int4 (MSE-clip pack; the amax pack
+    measures the same within noise on Gaussian weights) — budgets carry
+    comfortable margin).
     """
     from mars5_tts_tpu.models.ar import CodecLMConfig, init_codeclm, codeclm_prefill, spk_embedding
     from mars5_tts_tpu.models.ar_decode import ArSampling, ar_generate
