@@ -104,7 +104,8 @@ def backbone_forward(p, x, positions, cfg: CodecLMConfig, mask=None):
         h, kv = mistral_block(layer_p, h, cos, sin, mask, cfg)
         return h, kv
 
-    x, kvs = jax.lax.scan(step, x, p["layers"])
+    from .layers import _maybe_remat
+    x, kvs = jax.lax.scan(_maybe_remat(step), x, p["layers"])
     x = rms_norm(x, p["norm"], cfg.norm_eps)
     return linear(x, p["output"]), kvs
 

@@ -217,13 +217,26 @@ def decoder_layer(p, x, memory, nhead: int, tgt_key_padding_mask=None,
     return x + swiglu_ff(p, h)
 
 
+def _maybe_remat(fn):
+    """Per-layer rematerialization for training (MARS5_TRAIN_REMAT=1).
+
+    Wrapping the scan BODY in jax.checkpoint makes backward memory O(1 layer)
+    of activations instead of O(L) — the standard TPU recipe for trading one
+    extra forward's FLOPs for HBM during training. Inference paths are
+    unaffected (no grads; XLA drops the checkpoint marker)."""
+    import os
+    if os.environ.get("MARS5_TRAIN_REMAT", "0") == "1":
+        return jax.checkpoint(fn)
+    return fn
+
+
 def encoder_stack(p, x, nhead: int, key_padding_mask=None):
     """Run stacked encoder layers (params stacked on axis 0) + final LayerNorm."""
 
     def step(h, layer_p):
         return encoder_layer(layer_p, h, nhead, key_padding_mask), None
 
-    x, _ = jax.lax.scan(step, x, p["layers"])
+    x, _ = jax.lax.scan(_maybe_remat(step), x, p["layers"])
     return layer_norm(x, p["norm_w"], p["norm_b"], LAYERNORM_EPS)
 
 
@@ -233,5 +246,5 @@ def decoder_stack(p, x, memory, nhead: int, tgt_key_padding_mask=None,
         return decoder_layer(layer_p, h, memory, nhead,
                              tgt_key_padding_mask, memory_key_padding_mask), None
 
-    x, _ = jax.lax.scan(step, x, p["layers"])
+    x, _ = jax.lax.scan(_maybe_remat(step), x, p["layers"])
     return layer_norm(x, p["norm_w"], p["norm_b"], LAYERNORM_EPS)

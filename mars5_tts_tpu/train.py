@@ -75,8 +75,31 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01):
-    return optax.adamw(lr, weight_decay=weight_decay)
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01,
+                   warmup_steps: int = 0, total_steps: int = 0,
+                   clip_norm: float = 0.0, accum_steps: int = 1):
+    """Production optimizer: AdamW with optional global-norm clipping,
+    linear-warmup + cosine-decay schedule, and gradient accumulation.
+
+    Defaults preserve the round-2 behavior (plain AdamW at a constant lr).
+    ``total_steps > 0`` enables the schedule (cosine to 10% of peak);
+    ``accum_steps > 1`` wraps in optax.MultiSteps (micro-batching — the
+    train step API is unchanged, updates apply every ``accum_steps`` calls).
+    """
+    sched = lr
+    if total_steps > 0:
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr,
+            warmup_steps=max(warmup_steps, 1),
+            decay_steps=total_steps, end_value=0.1 * lr)
+    parts = []
+    if clip_norm > 0:
+        parts.append(optax.clip_by_global_norm(clip_norm))
+    parts.append(optax.adamw(sched, weight_decay=weight_decay))
+    tx = optax.chain(*parts) if len(parts) > 1 else parts[0]
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
 
 
 def init_train_state(ar_params, nar_params, optimizer) -> TrainState:

@@ -81,3 +81,34 @@ def test_checkpoint_roundtrip(tiny_train_setup, tmp_path):
     restored = restore_train_checkpoint(path, fresh)
     for a, b in zip(jax.tree.leaves(state.ar_params), jax.tree.leaves(restored.ar_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_production_optimizer_with_remat(tiny_train_setup, monkeypatch):
+    """Clip + warmup-cosine schedule + grad accumulation + per-layer remat:
+    the step runs, losses stay finite, and MultiSteps applies updates only
+    every accum_steps calls (params unchanged on the intermediate step)."""
+    from mars5_tts_tpu.models.ar import init_codeclm
+    from mars5_tts_tpu.models.nar import init_nar
+    from mars5_tts_tpu.train import (init_train_state, make_optimizer,
+                                     make_train_step)
+
+    ar_cfg, nar_cfg, diff, _, _ = tiny_train_setup
+    monkeypatch.setenv("MARS5_TRAIN_REMAT", "1")
+    opt = make_optimizer(1e-3, warmup_steps=2, total_steps=10, clip_norm=1.0,
+                         accum_steps=2)
+    state = init_train_state(init_codeclm(jax.random.PRNGKey(0), ar_cfg),
+                             init_nar(jax.random.PRNGKey(1), nar_cfg), opt)
+    step = jax.jit(make_train_step(ar_cfg, nar_cfg, diff, opt))
+    ar_b, nar_b = _batches(ar_cfg, nar_cfg)
+    p0 = np.asarray(jax.tree.leaves(state.ar_params)[0])
+    state1, m1 = step(state, ar_b, nar_b, jax.random.PRNGKey(2))
+    # accumulation step 1 of 2: no parameter movement yet
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(state1.ar_params)[0]), p0)
+    # 3 more calls: 2 applied updates; the first lands at warmup lr=0, the
+    # second at a real lr -> parameters must move
+    m2 = m1
+    for k in (3, 4, 5):
+        state1, m2 = step(state1, ar_b, nar_b, jax.random.PRNGKey(k))
+    assert not np.array_equal(np.asarray(jax.tree.leaves(state1.ar_params)[0]), p0)
+    for m in (m1, m2):
+        assert np.isfinite(float(m["ar_loss"])) and np.isfinite(float(m["nar_loss"]))
