@@ -73,10 +73,20 @@ def _use_nar_fused(p, x):
     from ..ops.quant import is_quantized
     if not (is_quantized(p["WV"]) and "a8" in p["WV"]):
         return False
+    if _nar_fused_interpret():
+        return True  # CPU tests: run the fused layer in interpret mode
     if x.shape[0] * x.shape[1] < _NAR_FUSED_MIN_ROWS:
         return False
     from ..ops.pallas import enabled
     return enabled()
+
+
+def _nar_fused_interpret() -> bool:
+    """MARS5_NAR_FUSED_INTERPRET=1: run the fused decoder-layer kernels in
+    Pallas interpret mode regardless of backend/geometry — lets CPU tests
+    drive the fused (and grouped-quant) path through the real engine."""
+    import os
+    return os.environ.get("MARS5_NAR_FUSED_INTERPRET", "0") == "1"
 
 
 def _nar_fused_gsize() -> int:
@@ -202,7 +212,8 @@ def decoder_layer(p, x, memory, nhead: int, tgt_key_padding_mask=None,
                   memory_key_padding_mask=None):
     if _use_nar_fused(p, x):
         return decoder_layer_fused(p, x, memory, nhead, tgt_key_padding_mask,
-                                   memory_key_padding_mask)
+                                   memory_key_padding_mask,
+                                   interpret=_nar_fused_interpret())
     h = layer_norm(x, p["norm1_w"], p["norm1_b"], LAYERNORM_EPS)
     x = x + torch_mha(
         {"in_proj_w": p["sa_in_w"], "in_proj_b": p["sa_in_b"],

@@ -210,7 +210,7 @@ def _lin_call(x2, wq, ws, nw, nb, bias, res, *, eps, groups, bm, interpret,
         has_res=has_res)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((mp, n), x2.dtype),
         grid=(mp // bm,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, n), row, memory_space=pltpu.VMEM),
@@ -264,7 +264,7 @@ def _ffn_call(x2, wvq, wvs, nw, nb, l2q, l2s, l2b, *, eps, groups, groups2, bm,
                                groups2=groups2)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((mp, k), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((mp, k), x2.dtype),
         grid=(mp // bm,),
         in_specs=[
             pl.BlockSpec((bm, k), row, memory_space=pltpu.VMEM),

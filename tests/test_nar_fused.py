@@ -300,3 +300,53 @@ def test_decoder_layer_fused_matches_unfused(layer):
     assert np.abs(g - w).mean() < 2e-3 * np.abs(w).max()
     cos = (g * w).sum() / (np.linalg.norm(g) * np.linalg.norm(w))
     assert cos > 0.9999
+
+
+def test_engine_fused_interpret_and_grouped(monkeypatch):
+    """The REAL diffusion engine through the fused decoder-layer kernels
+    (MARS5_NAR_FUSED_INTERPRET=1 on CPU): per-row and grouped (sg) quant both
+    produce valid grids tracking the unfused W8A8 run, and the fused run is
+    deterministic."""
+    from mars5_tts_tpu.config import DSH
+    from mars5_tts_tpu.diffusion import (MultinomialDiffusion,
+                                         perform_simple_inference)
+    from mars5_tts_tpu.models.layers import nar_w_group_keys
+    from mars5_tts_tpu.models.nar import ResidualTransformerConfig, init_nar
+    from mars5_tts_tpu.ops.quant import quantize_nar
+
+    cfg = ResidualTransformerConfig.tiny(n_text_vocab=32)
+    p = init_nar(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    pq = quantize_nar(p)
+    pg = quantize_nar(p, w_gsize=32, w_group_keys=nar_w_group_keys())
+    rng = np.random.default_rng(0)
+    bs, Lt, Lc, Lx, T = 1, 7, 11, 16, 8
+    batch = (rng.integers(0, 32, (bs, Lt)), rng.integers(0, 1024, (bs, Lc, 8)),
+             np.asarray([Lt]), np.asarray([Lc]),
+             rng.integers(0, 1024, (bs, Lx, 8)), np.zeros((bs, Lx), bool))
+    diff = MultinomialDiffusion(1025, timesteps=T)
+    dsh = DSH(last_greedy=True, x_0_temp=0.7, guidance_w=3.0, jump_len=1,
+              jump_n_sample=1, q0_override_steps=2)
+    key = jax.random.key(0, impl="rbg")
+
+    monkeypatch.setenv("MARS5_NAR_FUSED", "0")
+    g_unfused = np.asarray(perform_simple_inference(pq, cfg, batch, diff, T,
+                                                    dsh, key=key))
+    monkeypatch.setenv("MARS5_NAR_FUSED", "1")
+    monkeypatch.setenv("MARS5_NAR_FUSED_INTERPRET", "1")
+    g_fused = np.asarray(perform_simple_inference(pq, cfg, batch, diff, T,
+                                                  dsh, key=key))
+    g_fused2 = np.asarray(perform_simple_inference(pq, cfg, batch, diff, T,
+                                                   dsh, key=key))
+    np.testing.assert_array_equal(g_fused, g_fused2)   # deterministic
+    assert (g_fused[..., 0] == g_unfused[..., 0]).all()  # L0 pinned
+    # same int8 math up to the attention softmax impl: high-but-not-exact
+    agree = (g_fused == g_unfused).mean()
+    assert agree > 0.5, f"fused-vs-unfused grid agreement {agree:.2f}"
+
+    monkeypatch.setenv("MARS5_NARF_GSIZE", "32")
+    g_grouped = np.asarray(perform_simple_inference(pg, cfg, batch, diff, T,
+                                                    dsh, key=key))
+    assert g_grouped.shape == g_fused.shape
+    assert (g_grouped[..., 0] == g_unfused[..., 0]).all()
+    agree_g = (g_grouped == g_fused).mean()
+    assert agree_g > 0.5, f"grouped-vs-per-row agreement {agree_g:.2f}"
