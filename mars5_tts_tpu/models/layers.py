@@ -251,8 +251,39 @@ def encoder_stack(p, x, nhead: int, key_padding_mask=None):
     return layer_norm(x, p["norm_w"], p["norm_b"], LAYERNORM_EPS)
 
 
+def _use_nar_mega(p, x, nhead: int) -> bool:
+    """Whole-stack Pallas megakernel (ops/pallas/nar_mega.py): all decoder
+    layers in ONE program, activations VMEM-resident across the stack,
+    weights manually double-buffered from HBM. MARS5_NAR_MEGA=1 to enable
+    (default off until the on-chip differential is recorded — VERDICT r2 #4
+    go/no-go ladder); MARS5_NAR_MEGA_INTERPRET=1 drives it on CPU tests."""
+    import os
+    mode = os.environ.get("MARS5_NAR_MEGA", "0")
+    interp = os.environ.get("MARS5_NAR_MEGA_INTERPRET", "0") == "1"
+    if mode != "1" and not interp:
+        return False
+    from ..ops.pallas.nar_mega import mega_supported
+    if not mega_supported(p["layers"], x, nhead):
+        return False
+    if interp:
+        return True
+    if x.shape[0] * x.shape[1] < _NAR_FUSED_MIN_ROWS:
+        return False
+    from ..ops.pallas import enabled
+    return enabled()
+
+
 def decoder_stack(p, x, memory, nhead: int, tgt_key_padding_mask=None,
                   memory_key_padding_mask=None):
+    if _use_nar_mega(p, x, nhead):
+        import os
+        from ..ops.pallas.nar_mega import mega_decoder_stack
+        y = mega_decoder_stack(
+            p["layers"], x, memory, nhead, tgt_key_padding_mask,
+            memory_key_padding_mask, eps=LAYERNORM_EPS,
+            interpret=os.environ.get("MARS5_NAR_MEGA_INTERPRET", "0") == "1")
+        return layer_norm(y, p["norm_w"], p["norm_b"], LAYERNORM_EPS)
+
     def step(h, layer_p):
         return decoder_layer(layer_p, h, memory, nhead,
                              tgt_key_padding_mask, memory_key_padding_mask), None
