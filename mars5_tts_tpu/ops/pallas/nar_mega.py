@@ -138,8 +138,24 @@ class MegaDims:
         return (0, 3 * D, 4 * D, 5 * D, 7 * D, 8 * D)
 
 
+_VMEM_GATE = 96 * 1024 * 1024    # reject geometries whose scratch won't fit
+
+
+def _vmem_estimate(dims: "MegaDims") -> int:
+    """Rough peak scoped-VMEM bytes: persistent scratch + the larger of the
+    attention / FFN transients (the two live-tensor peaks)."""
+    B, Lp, D, F = dims.batch, dims.lp, dims.dim, dims.hidden
+    streams = 7 * B * Lp * D * 2          # x_s + qkv_s(3) + tmp_s + in + out
+    wbuf = min(NBUF, 6) * max(3 * D, 2 * F) * D
+    ckv = B * dims.lkp * (2 * D * 2 + D + 4)
+    small = dims.n_layers * (9 * D + 2 * F + 9 * D + 6 * D) * 4
+    t_attn = 2 * dims.lqc * Lp * 4
+    t_ffn = dims.bm * 2 * F * 9 + dims.bm * D * 8
+    return streams + wbuf + ckv + small + max(t_attn, t_ffn)
+
+
 def mega_supported(layers, x, nhead: int) -> bool:
-    """Geometry + quantization gate for the megakernel path."""
+    """Geometry + quantization + VMEM gate for the megakernel path."""
     from ..quant import is_quantized
     wv = layers.get("WV")
     if not (is_quantized(wv) and "a8" in wv and "sg" not in wv):
@@ -151,8 +167,12 @@ def mega_supported(layers, x, nhead: int) -> bool:
     b, l, d = x.shape
     f = layers["lin2_w"]["q"].shape[-1]
     hd = d // nhead
-    return (d % 128 == 0 and hd == 64 and f % d == 0 and b <= 4
-            and (2 * f) % 128 == 0)
+    if not (d % 128 == 0 and hd == 64 and f % d == 0
+            and (2 * f) % 128 == 0):
+        return False
+    dims = MegaDims(n_layers=layers["norm1_w"].shape[0], dim=d, nhead=nhead,
+                    head_dim=hd, hidden=f, batch=b, seq=l, mem_len=1)
+    return _vmem_estimate(dims) <= _VMEM_GATE
 
 
 def build_mega_pack(layers):
