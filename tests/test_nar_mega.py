@@ -80,6 +80,18 @@ def test_mega_supported_gate(stack):
     plain = dict(layers)
     plain["WV"] = jnp.zeros((NLAYERS, 2 * F, D), jnp.bfloat16)
     assert not mega_supported(plain, x, NH)
+    # grouped (sg) dicts have no unfused twin in the kernel yet: must reject
+    # so the per-layer fused path (which supports them) takes over
+    grouped = dict(layers)
+    wv = dict(layers["WV"])
+    wv["sg"] = wv.pop("s")
+    grouped["WV"] = wv
+    assert not mega_supported(grouped, x, NH)
+    # oversized geometry: scratch estimate exceeds the VMEM budget
+    big = jnp.zeros((8, 1280, D), jnp.bfloat16)
+    from mars5_tts_tpu.ops.pallas.nar_mega import MegaDims, _vmem_estimate
+    assert _vmem_estimate(MegaDims(16, 1024, 16, 64, 3072, 4, 1200, 61)) \
+        > _vmem_estimate(MegaDims(16, 1024, 16, 64, 3072, 2, 1200, 61))
 
 
 def _ref_jit(layers, x, memory, kpm, mpm):
