@@ -16,6 +16,10 @@ Pallas program in which
   WV(2F) | lin2(F, as F/D exact int32 K-chunks)], manually double-buffered so
   the DMA engine runs ahead of the MXU (the AR megakernel's proven recipe,
   decode_layer.py: 442 GB/s with dots overlapped);
+* every inner loop is ROLLED (lax.fori_loop) with attention state in
+  head-pair-major scratch — see _make_kernel's docstring for why (Mosaic
+  allocates spill slots per unrolled iteration; the unrolled first cut
+  spilled 170 MB);
 * every weight matrix is stored (N, K) with the contraction on the minor axis
   — the layout that makes Mosaic int8 GEMMs beat the XLA emitter (nar_fused.py
   measurement: 75 vs 85 us for the WV shape; the round-2 "1.9x Mosaic gap" was
@@ -60,10 +64,16 @@ _LOG2E = 1.4426950408889634
 
 
 def _pick_bm(L: int, lp: int) -> int:
-    """Row-block size: multiple of 32 (int8 sublane tile), block count covers
-    L with minimal padding, padded rows never exceed the 128-aligned attention
-    pad (so every computed row has a VMEM slot). Ties prefer the largest block
-    (fewer unrolled iterations, bigger MXU tiles)."""
+    """Row-block size for the rolled GEMM-stage loops: multiple of 32 (int8
+    sublane tile), block count covers L without exceeding the 128-aligned
+    attention pad (every computed row needs a VMEM slot). MARS5_MEGA_BM picks
+    the preferred size (default 128 — measured safe for Mosaic's spill-slot
+    budget since each stage loop is ROLLED and its block temporaries are
+    reused across iterations); falls back to a search when the preferred size
+    doesn't tile the geometry."""
+    want = int(os.environ.get("MARS5_MEGA_BM", "128"))
+    if want % 32 == 0 and 0 < want and -(-L // want) * want <= lp:
+        return want
     best = None
     for bm in range(608, 31, -32):
         lqc = -(-L // bm) * bm
@@ -142,16 +152,19 @@ _VMEM_GATE = 96 * 1024 * 1024    # reject geometries whose scratch won't fit
 
 
 def _vmem_estimate(dims: "MegaDims") -> int:
-    """Rough peak scoped-VMEM bytes: persistent scratch + the larger of the
-    attention / FFN transients (the two live-tensor peaks)."""
+    """Rough peak scoped-VMEM bytes: persistent scratch + the SUM of every
+    rolled loop body's SSA transients (pessimistic: assumes Mosaic shares no
+    spill slots across distinct fori_loop regions — the observed round-3
+    failure mode was zero reuse across unrolled code)."""
     B, Lp, D, F = dims.batch, dims.lp, dims.dim, dims.hidden
-    streams = 7 * B * Lp * D * 2          # x_s + qkv_s(3) + tmp_s + in + out
+    streams = 7 * B * Lp * D * 2      # x_s + q/k/v + tmp (pair-major) + in/out
     wbuf = min(NBUF, 6) * max(3 * D, 2 * F) * D
     ckv = B * dims.lkp * (2 * D * 2 + D + 4)
     small = dims.n_layers * (9 * D + 2 * F + 9 * D + 6 * D) * 4
-    t_attn = 2 * dims.lqc * Lp * 4
-    t_ffn = dims.bm * 2 * F * 9 + dims.bm * D * 8
-    return streams + wbuf + ckv + small + max(t_attn, t_ffn)
+    t_attn = 2 * dims.lqc * Lp * 4                   # scores + probs, f32
+    t_cross = 2 * dims.lqc * dims.lkp * 4
+    t_gemms = dims.bm * (126 * D + 13 * F)           # s0+s1+s2+s4+ffn bodies
+    return streams + wbuf + ckv + small + t_attn + t_cross + t_gemms
 
 
 def mega_supported(layers, x, nhead: int) -> bool:
@@ -167,7 +180,7 @@ def mega_supported(layers, x, nhead: int) -> bool:
     b, l, d = x.shape
     f = layers["lin2_w"]["q"].shape[-1]
     hd = d // nhead
-    if not (d % 128 == 0 and hd == 64 and f % d == 0
+    if not (d % 128 == 0 and hd == 64 and nhead % 2 == 0 and f % d == 0
             and (2 * f) % 128 == 0):
         return False
     dims = MegaDims(n_layers=layers["norm1_w"].shape[0], dim=d, nhead=nhead,
@@ -234,12 +247,22 @@ def build_mega_pack(layers):
 
 
 def _make_kernel(dims: MegaDims, eps: float):
+    """Mosaic spill-slot discipline (the round-3 compile lesson): every inner
+    loop is a lax.fori_loop, NEVER an unrolled Python loop — unrolled
+    iterations each get their OWN register-allocator spill slots (16 unrolled
+    flash-attention heads alone spilled 170 MB > the 128 MB VMEM). Rolled
+    bodies reuse one set. That forbids 64-lane dynamic head slices (Mosaic
+    dynamic indexing must stay off the minor/lane dim), so Q/K/V and the
+    attention tmp live in HEAD-PAIR-MAJOR scratch (HP, B, Lp, 2*Dh=128): the
+    loop index lands on untiled leading axes and the two heads inside a pair
+    are STATIC 64-lane sub-slices of one loaded (rows, 128) value."""
     Nl, D, H, Dh, F = (dims.n_layers, dims.dim, dims.nhead, dims.head_dim,
                        dims.hidden)
     B, Lp, Lqc, Lkp = dims.batch, dims.lp, dims.lqc, dims.lkp
     bm = dims.bm
     nmb = Lqc // bm
     NC = F // D
+    HP = H // 2
     RPL = dims.rpl
     offs, rows = dims.stage_offsets, dims.stage_rows
     s_offs, s_w = dims.s_offsets, dims.s_widths
@@ -251,7 +274,7 @@ def _make_kernel(dims: MegaDims, eps: float):
 
     def kernel(x_ref, mem_ref, sbias_ref, mbias_ref, pack_ref,
                svec_ref, bvec_ref, lnvec_ref, o_ref,
-               wbuf, x_s, qkv_s, tmp_s, ckv_s, m8_s, ms_s, wsem):
+               wbuf, x_s, q_s, k_s, v_s, tmp_s, ck_s, cv_s, m8_s, ms_s, wsem):
 
         def wdma(c, slot, l):
             return pltpu.make_async_copy(
@@ -266,7 +289,10 @@ def _make_kernel(dims: MegaDims, eps: float):
         if Lqc < Lp:
             # k/v alignment-pad rows are never written by the QKV GEMM; zero
             # them once so the masked score lanes stay finite
-            qkv_s[:, Lqc:, :] = jnp.zeros((B, Lp - Lqc, 3 * D), qkv_s.dtype)
+            k_s[:, :, Lqc:, :] = jnp.zeros((HP, B, Lp - Lqc, 2 * Dh),
+                                           k_s.dtype)
+            v_s[:, :, Lqc:, :] = jnp.zeros((HP, B, Lp - Lqc, 2 * Dh),
+                                           v_s.dtype)
 
         # memory activations quantize once — identical every layer (the XLA
         # path re-derives the same per-row scales in each linear_w8a8 call)
@@ -304,73 +330,96 @@ def _make_kernel(dims: MegaDims, eps: float):
                 def _():
                     wdma(ncs, slot, nl_).start()
 
-            # ---- stage 0: LN1 -> quant -> QKV GEMM (all rows) ----
-            slot0 = swait(0)
-            ln1w, ln1b = ln_of(0)
-            for b in range(B):
-                for mb in range(nmb):
-                    r0 = mb * bm
-                    xf = x_s[b, r0:r0 + bm, :].astype(jnp.float32)
-                    hf = _ln_bf16_f32(xf, ln1w, ln1b, eps)
-                    xq, xs = _quant_rows(hf)
-                    acc = jax.lax.dot_general(
-                        xq, wbuf[slot0, :3 * D], (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.int32)
-                    y = acc.astype(jnp.float32) * (xs * stage_s(0)) + stage_b(0)
-                    qkv_s[b, r0:r0 + bm, :] = y.astype(qkv_s.dtype)
-            start_ahead(0, slot0)
+            def rowblocks(stage_body):
+                """Rolled loop over (batch, row-block)."""
+                def wrap(t, carry):
+                    b = t // nmb
+                    r0 = (t - b * nmb) * bm
+                    stage_body(b, r0)
+                    return carry
+                jax.lax.fori_loop(0, B * nmb, wrap, 0)
 
-            # ---- self-attention (sdpa_pallas math, per head) ----
-            for b in range(B):
-                bias = sbias_ref[b, 0:1, :]           # (1, Lp)
-                for h in range(H):
-                    sl = slice(h * Dh, (h + 1) * Dh)
-                    ksl = slice(D + h * Dh, D + (h + 1) * Dh)
-                    vsl = slice(2 * D + h * Dh, 2 * D + (h + 1) * Dh)
-                    q = qkv_s[b, :Lqc, sl]            # (Lqc, Dh) bf16
-                    k = qkv_s[b, :, ksl]              # (Lp, Dh)
+            def gemm_rows(xf, slot, n, c, ci):
+                xq, xs = _quant_rows(xf)
+                acc = jax.lax.dot_general(
+                    xq, wbuf[slot, :n], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                y = acc.astype(jnp.float32) * (xs * stage_s(c))
+                return y + stage_b(ci) if ci is not None else y
+
+            def scatter_pairs(dst, b, r0, yb, lane0):
+                for hp in range(HP):
+                    dst[hp, b, pl.ds(r0, bm), :] = (
+                        yb[:, lane0 + 2 * Dh * hp:lane0 + 2 * Dh * (hp + 1)])
+
+            def gather_pairs(src, b, r0):
+                return jnp.concatenate(
+                    [src[hp, b, pl.ds(r0, bm), :] for hp in range(HP)], axis=1)
+
+            def flash_pair(q2, k2, v2, bias):
+                """Two heads packed in 128 lanes -> (rows, 128) bf16 out."""
+                outs = []
+                for hh in range(2):
+                    sl = slice(hh * Dh, (hh + 1) * Dh)
                     s = jax.lax.dot_general(
-                        q, k, (((1,), (1,)), ((), ())),
+                        q2[:, sl], k2[:, sl], (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     s = s + bias
                     m = jnp.max(s, axis=1, keepdims=True)
                     p = jnp.exp2((s - m) * c2)
                     r = jnp.sum(p, axis=1, keepdims=True)
                     o = jax.lax.dot_general(
-                        p.astype(q.dtype), qkv_s[b, :, vsl],
-                        (((1,), (0,)), ((), ())),
+                        p.astype(q2.dtype), v2[:, sl], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                    tmp_s[b, :Lqc, sl] = (o / r).astype(tmp_s.dtype)
+                    outs.append((o / r).astype(q2.dtype))
+                return jnp.concatenate(outs, axis=1)
+
+            # ---- stage 0: LN1 -> quant -> QKV GEMM (all rows) ----
+            slot0 = swait(0)
+            ln1w, ln1b = ln_of(0)
+
+            def s0(b, r0):
+                xf = x_s[b, pl.ds(r0, bm), :].astype(jnp.float32)
+                hf = _ln_bf16_f32(xf, ln1w, ln1b, eps)
+                yb = gemm_rows(hf, slot0, 3 * D, 0, 0).astype(jnp.bfloat16)
+                scatter_pairs(q_s, b, r0, yb, 0)
+                scatter_pairs(k_s, b, r0, yb, D)
+                scatter_pairs(v_s, b, r0, yb, 2 * D)
+            rowblocks(s0)
+            start_ahead(0, slot0)
+
+            # ---- self-attention (sdpa_pallas math, head pairs rolled) ----
+            def sa(u, carry):
+                b = u // HP
+                hp = u - b * HP
+                bias = sbias_ref[b, 0:1, :]           # (1, Lp)
+                out = flash_pair(q_s[hp, b, :Lqc, :], k_s[hp, b],
+                                 v_s[hp, b], bias)
+                tmp_s[hp, b, pl.ds(0, Lqc), :] = out
+                return carry
+            jax.lax.fori_loop(0, B * HP, sa, 0)
 
             # ---- stage 1: sa_out + residual ----
             slot1 = swait(1)
-            for b in range(B):
-                for mb in range(nmb):
-                    r0 = mb * bm
-                    af = tmp_s[b, r0:r0 + bm, :].astype(jnp.float32)
-                    xq, xs = _quant_rows(af)
-                    acc = jax.lax.dot_general(
-                        xq, wbuf[slot1, :D], (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.int32)
-                    y = acc.astype(jnp.float32) * (xs * stage_s(1)) + stage_b(1)
-                    x_s[b, r0:r0 + bm, :] = (x_s[b, r0:r0 + bm, :]
-                                             + y.astype(x_s.dtype))
+
+            def s1(b, r0):
+                af = gather_pairs(tmp_s, b, r0).astype(jnp.float32)
+                y = gemm_rows(af, slot1, D, 1, 1)
+                x_s[b, pl.ds(r0, bm), :] = (x_s[b, pl.ds(r0, bm), :]
+                                            + y.astype(x_s.dtype))
+            rowblocks(s1)
             start_ahead(1, slot1)
 
             # ---- stage 2: LN2 -> ca_q -> tmp ----
             slot2 = swait(2)
             ln2w, ln2b = ln_of(1)
-            for b in range(B):
-                for mb in range(nmb):
-                    r0 = mb * bm
-                    xf = x_s[b, r0:r0 + bm, :].astype(jnp.float32)
-                    hf = _ln_bf16_f32(xf, ln2w, ln2b, eps)
-                    xq, xs = _quant_rows(hf)
-                    acc = jax.lax.dot_general(
-                        xq, wbuf[slot2, :D], (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.int32)
-                    y = acc.astype(jnp.float32) * (xs * stage_s(2)) + stage_b(2)
-                    tmp_s[b, r0:r0 + bm, :] = y.astype(tmp_s.dtype)
+
+            def s2(b, r0):
+                xf = x_s[b, pl.ds(r0, bm), :].astype(jnp.float32)
+                hf = _ln_bf16_f32(xf, ln2w, ln2b, eps)
+                yb = gemm_rows(hf, slot2, D, 2, 2).astype(jnp.bfloat16)
+                scatter_pairs(tmp_s, b, r0, yb, 0)
+            rowblocks(s2)
             start_ahead(2, slot2)
 
             # ---- stage 3: ca_kv from the once-quantized memory ----
@@ -380,73 +429,57 @@ def _make_kernel(dims: MegaDims, eps: float):
                     m8_s[b], wbuf[slot3, :2 * D], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32)
                 y = acc.astype(jnp.float32) * (ms_s[b] * stage_s(3)) + stage_b(3)
-                ckv_s[b] = y.astype(ckv_s.dtype)
+                yb = y.astype(jnp.bfloat16)
+                for hp in range(HP):
+                    ck_s[hp, b] = yb[:, 2 * Dh * hp:2 * Dh * (hp + 1)]
+                    cv_s[hp, b] = yb[:, D + 2 * Dh * hp:D + 2 * Dh * (hp + 1)]
             start_ahead(3, slot3)
 
             # ---- cross-attention (flash formulation at tiny Lk) ----
-            for b in range(B):
+            def ca(u, carry):
+                b = u // HP
+                hp = u - b * HP
                 bias = mbias_ref[b, 0:1, :]           # (1, Lkp)
-                for h in range(H):
-                    sl = slice(h * Dh, (h + 1) * Dh)
-                    vsl = slice(D + h * Dh, D + (h + 1) * Dh)
-                    q = tmp_s[b, :Lqc, sl]
-                    k = ckv_s[b, :, sl]               # (Lkp, Dh)
-                    s = jax.lax.dot_general(
-                        q, k, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    s = s + bias
-                    m = jnp.max(s, axis=1, keepdims=True)
-                    p = jnp.exp2((s - m) * c2)
-                    r = jnp.sum(p, axis=1, keepdims=True)
-                    o = jax.lax.dot_general(
-                        p.astype(q.dtype), ckv_s[b, :, vsl],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    tmp_s[b, :Lqc, sl] = (o / r).astype(tmp_s.dtype)
+                out = flash_pair(tmp_s[hp, b, :Lqc, :], ck_s[hp, b],
+                                 cv_s[hp, b], bias)
+                tmp_s[hp, b, pl.ds(0, Lqc), :] = out
+                return carry
+            jax.lax.fori_loop(0, B * HP, ca, 0)
 
             # ---- stage 4: ca_out + residual ----
             slot4 = swait(4)
-            for b in range(B):
-                for mb in range(nmb):
-                    r0 = mb * bm
-                    af = tmp_s[b, r0:r0 + bm, :].astype(jnp.float32)
-                    xq, xs = _quant_rows(af)
-                    acc = jax.lax.dot_general(
-                        xq, wbuf[slot4, :D], (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.int32)
-                    y = acc.astype(jnp.float32) * (xs * stage_s(4)) + stage_b(4)
-                    x_s[b, r0:r0 + bm, :] = (x_s[b, r0:r0 + bm, :]
-                                             + y.astype(x_s.dtype))
+
+            def s4(b, r0):
+                af = gather_pairs(tmp_s, b, r0).astype(jnp.float32)
+                y = gemm_rows(af, slot4, D, 4, 4)
+                x_s[b, pl.ds(r0, bm), :] = (x_s[b, pl.ds(r0, bm), :]
+                                            + y.astype(x_s.dtype))
+            rowblocks(s4)
             start_ahead(4, slot4)
 
             # ---- stages 5+6: SwiGLU FFN, (bm, 2F) never leaves VMEM ----
             slot5 = swait(5)
             slot6 = swait(6)
             ln3w, ln3b = ln_of(2)
-            for b in range(B):
-                for mb in range(nmb):
-                    r0 = mb * bm
-                    xf = x_s[b, r0:r0 + bm, :].astype(jnp.float32)
-                    hf = _ln_bf16_f32(xf, ln3w, ln3b, eps)
-                    xq, xs = _quant_rows(hf)
-                    acc = jax.lax.dot_general(
-                        xq, wbuf[slot5, :2 * F], (((1,), (1,)), ((), ())),
+
+            def s56(b, r0):
+                xf = x_s[b, pl.ds(r0, bm), :].astype(jnp.float32)
+                hf = _ln_bf16_f32(xf, ln3w, ln3b, eps)
+                wv = gemm_rows(hf, slot5, 2 * F, 5, None).astype(jnp.bfloat16)
+                u = _silu_mul_bf16(wv)                # (bm, F) bf16
+                uq, us = _quant_rows(u.astype(jnp.float32))
+                acc2 = None
+                for c in range(NC):
+                    part = jax.lax.dot_general(
+                        uq[:, c * D:(c + 1) * D],
+                        wbuf[slot6, c * D:(c + 1) * D],
+                        (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.int32)
-                    wv = (acc.astype(jnp.float32)
-                          * (xs * stage_s(5))).astype(jnp.bfloat16)
-                    u = _silu_mul_bf16(wv)            # (bm, F) bf16
-                    uq, us = _quant_rows(u.astype(jnp.float32))
-                    acc2 = None
-                    for c in range(NC):
-                        part = jax.lax.dot_general(
-                            uq[:, c * D:(c + 1) * D],
-                            wbuf[slot6, c * D:(c + 1) * D],
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-                        acc2 = part if acc2 is None else acc2 + part
-                    y = acc2.astype(jnp.float32) * (us * stage_s(6)) + stage_b(5)
-                    x_s[b, r0:r0 + bm, :] = (x_s[b, r0:r0 + bm, :]
-                                             + y.astype(x_s.dtype))
+                    acc2 = part if acc2 is None else acc2 + part
+                y = acc2.astype(jnp.float32) * (us * stage_s(6)) + stage_b(5)
+                x_s[b, pl.ds(r0, bm), :] = (x_s[b, pl.ds(r0, bm), :]
+                                            + y.astype(x_s.dtype))
+            rowblocks(s56)
             start_ahead(5, slot5)
             start_ahead(6, slot6)
             return 0
@@ -462,6 +495,8 @@ def _mega_call(x, mem, sbias, mbias, pack, svec, bvec, lnvec, *,
                dims: MegaDims, eps: float, interpret: bool):
     B, Lp, D = x.shape
     F = dims.hidden
+    HP = dims.nhead // 2
+    PW = 2 * dims.head_dim                           # 128 lanes per head pair
     kernel = _make_kernel(dims, eps)
     return pl.pallas_call(
         kernel,
@@ -481,9 +516,12 @@ def _mega_call(x, mem, sbias, mbias, pack, svec, bvec, lnvec, *,
             pltpu.VMEM((min(NBUF, 6), max(3 * D, 2 * F), D),
                        jnp.int8),                               # weight stages
             pltpu.VMEM((B, Lp, D), jnp.bfloat16),               # x stream
-            pltpu.VMEM((B, Lp, 3 * D), jnp.bfloat16),           # q|k|v
-            pltpu.VMEM((B, Lp, D), jnp.bfloat16),               # attn/hq tmp
-            pltpu.VMEM((B, dims.lkp, 2 * D), jnp.bfloat16),     # cross k|v
+            pltpu.VMEM((HP, B, Lp, PW), jnp.bfloat16),          # q (pair-major)
+            pltpu.VMEM((HP, B, Lp, PW), jnp.bfloat16),          # k
+            pltpu.VMEM((HP, B, Lp, PW), jnp.bfloat16),          # v
+            pltpu.VMEM((HP, B, Lp, PW), jnp.bfloat16),          # attn/hq tmp
+            pltpu.VMEM((HP, B, dims.lkp, PW), jnp.bfloat16),    # cross k
+            pltpu.VMEM((HP, B, dims.lkp, PW), jnp.bfloat16),    # cross v
             pltpu.VMEM((B, dims.lkp, D), jnp.int8),             # memory int8
             pltpu.VMEM((B, dims.lkp, 1), jnp.float32),          # memory scales
             pltpu.SemaphoreType.DMA((min(NBUF, 6),)),
