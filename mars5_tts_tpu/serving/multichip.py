@@ -131,7 +131,8 @@ class ShardedNARDiffusion:
                  else _replicated_specs(params))
         self.params = shard_tree(self.mesh, params, specs)
 
-    def infer(self, batch, diff, timesteps, dsh, *, key=None, uniforms=None):
+    def infer(self, batch, diff, timesteps, dsh, *, key=None, uniforms=None,
+              x_init=None):
         """Sharded ``perform_simple_inference``: batch rows across dp.
 
         The CFG doubling happens inside the engine (batch 2B keeps row i and
@@ -151,4 +152,4 @@ class ShardedNARDiffusion:
         with self.mesh:
             return perform_simple_inference(self.params, self.cfg, batch, diff,
                                             timesteps, dsh, key=key,
-                                            uniforms=uniforms)
+                                            uniforms=uniforms, x_init=x_init)

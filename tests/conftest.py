@@ -20,6 +20,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# SURVEY §5.2 sanitizer config: MARS5_DEBUG_NANS=1 makes every jitted graph in
+# the suite raise at the op that produced a NaN (jax re-runs it un-jitted to
+# localize). Off by default — it disables most fusions and slows the suite.
+if os.environ.get("MARS5_DEBUG_NANS", "0") == "1":
+    jax.config.update("jax_debug_nans", True)
+
 import sys
 from pathlib import Path
 
