@@ -62,18 +62,20 @@ def _progress_supported() -> bool:
 
 @functools.partial(jax.jit, static_argnames=("nar_cfg", "dsh", "offset",
                                               "retain_quant0", "use_key",
-                                              "honor_last_greedy"))
+                                              "honor_last_greedy", "ragged"))
 def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
                     diff_tables, c_text, c_codes, c_texts_length, c_codes_length,
                     x0_seed, x_known, x_padding_mask, x_quant0,
                     t_lasts, is_reverse, cs, uniforms, key, offset: int = 0,
                     retain_quant0: bool = True, use_key: bool = True,
-                    honor_last_greedy: bool = False):
+                    honor_last_greedy: bool = False, ragged: bool = False,
+                    offsets=None):
     from ..models.nar import (nar_decoder_apply, nar_enc_inputs, nar_heads,
                               nar_spk_embedding, nar_timestep_mlps)
 
     bs = c_text.shape[0]
     num_classes = nar_cfg.n_quant
+    assert not (ragged and offset), "ragged mode carries offsets, not offset"
     diff = diff_tables  # a MultinomialDiffusion (static tables are jnp constants)
     n_lanes = x0_seed.shape[-1]
     l_gen = x0_seed.shape[1] - offset  # frames whose lanes 1.. are model-sampled
@@ -213,6 +215,46 @@ def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
         t = jnp.full((bs,), t_last, jnp.int32)
 
         def reverse(x):
+            if ragged:
+                # Per-row prompt lengths (mixed-voice deep-clone batches): the
+                # known-region boundary is a traced (bs,) ``offsets`` vector, so
+                # the static prompt/gen split above can't slice. Instead the
+                # known draws run on the FULL grid (all lanes) and a pos <
+                # offset mask composites them over the model samples. Kept
+                # entries are bit-identical to the static path (every op is
+                # positionwise); cost is model heads + known draws over the
+                # prompt block too (~offset/L extra work) — serving
+                # flexibility, not the bench path. ``offset`` is 0 here, so the
+                # gen-region helpers below already cover the full grid.
+                L = x.shape[1]
+                if use_key:
+                    u1 = jax.random.uniform(jax.random.fold_in(key, 3 * i + 1),
+                                            (bs, L, n_lanes, 2))
+                    known_s = diff.q_pred_indexed_sample(x_known, t, u1)
+                else:
+                    u1 = uniforms[i, 1]
+                    known_s = diff.log_sample_categorical(
+                        diff.q_pred_indexed(x_known, t), u1)
+                known = jnp.where(t_last == 0, x_known, known_s)
+                if use_fused_tail:
+                    unknown = fused_unknown(x, i, t_last)
+                else:
+                    x0_logits = model_x0_gen(x, t_last).astype(jnp.float32)
+                    log_x0 = jax.nn.log_softmax(x0_logits / dsh.x_0_temp, axis=-1)
+                    if use_key:
+                        u0 = jax.random.uniform(jax.random.fold_in(key, 3 * i),
+                                                log_x0.shape)
+                    else:
+                        u0 = uniforms[i, 0][:, :, 1:]
+                    log_pred = diff.q_posterior_indexed(log_x0, x[:, :, 1:],
+                                                        t, normalize=not use_key)
+                    unknown = diff.log_sample_categorical(log_pred, u0)
+                    if dsh.last_greedy and honor_last_greedy:
+                        greedy = jnp.argmax(log_pred, axis=-1).astype(jnp.int32)
+                        unknown = jnp.where(t_last == 0, greedy, unknown)
+                kmask = jnp.arange(L)[None, :] < offsets[:, None]      # (bs, L)
+                rest = jnp.where(kmask[:, :, None], known[..., 1:], unknown)
+                return jnp.concatenate([known[..., :1], rest], axis=2)
             if use_key:
                 # known-region draws are two-value categoricals: 2 uniforms per
                 # position (distribution-exact) instead of a (…, K) Gumbel grid
@@ -318,9 +360,9 @@ def perform_simple_inference(nar_params, nar_cfg: ResidualTransformerConfig,
     c_text, c_codes, c_texts_length, c_codes_length, x, x_padding_mask = [
         jnp.asarray(v) for v in batch]
     bs = c_text.shape[0]
-    # The reference asserts bs=1; we support batched rows. Deep clone prepends
-    # the same-length prompt to every row, so it requires uniform code lengths
-    # (one shared reference voice, or same-length references).
+    # The reference asserts bs=1; we support batched rows, including deep-clone
+    # batches whose rows use DIFFERENT reference voices (per-row prompt
+    # lengths -> the ragged branch below).
 
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -340,19 +382,55 @@ def perform_simple_inference(nar_params, nar_cfg: ResidualTransformerConfig,
     x_known = jnp.zeros_like(x).at[..., 0].set(x[..., 0])
 
     offset = 0
+    ragged = False
+    offsets = None
     if dsh.deep_clone:
         lengths = set(int(v) for v in np.asarray(c_codes_length))
-        assert len(lengths) == 1, "batched deep clone requires uniform reference lengths"
-        lc = lengths.pop()
-        assert c_codes.shape[1] == lc, (
-            "deep clone assumes no padded indices in c_codes (as the reference)")
-        prompt = c_codes.astype(jnp.int32)
-        x = jnp.concatenate([prompt, x], axis=1)
-        x_known = jnp.concatenate([prompt, x_known], axis=1)
-        x_padding_mask = jnp.concatenate(
-            [jnp.zeros((bs, lc), bool), x_padding_mask], axis=-1)
-        x_quant0 = jnp.concatenate([prompt[..., 0], x_quant0], axis=-1)
-        offset = lc
+        if len(lengths) == 1:
+            lc = lengths.pop()
+            assert c_codes.shape[1] == lc, (
+                "deep clone assumes no padded indices in c_codes (as the reference)")
+            prompt = c_codes.astype(jnp.int32)
+            x = jnp.concatenate([prompt, x], axis=1)
+            x_known = jnp.concatenate([prompt, x_known], axis=1)
+            x_padding_mask = jnp.concatenate(
+                [jnp.zeros((bs, lc), bool), x_padding_mask], axis=-1)
+            x_quant0 = jnp.concatenate([prompt[..., 0], x_quant0], axis=-1)
+            offset = lc
+        else:
+            # Mixed-voice batches: per-row prompt lengths. Each row is
+            # [prompt_r (lc_r, all lanes known); gen (Lx); pad], assembled on
+            # host; the scan gets a traced ``offsets`` vector and composites
+            # the known region with a pos < offset mask (``ragged=True``).
+            # Rows stay at their solo positions (prompt at 0..lc_r-1), so
+            # outputs are bit-identical to per-row solo runs under a shared
+            # uniform stream.
+            lens = np.asarray(c_codes_length, np.int64)
+            n_lanes = x.shape[2]
+            lx = x.shape[1]
+            lc_max = int(lens.max())
+            L = lc_max + lx
+            xh = np.asarray(x)
+            xkh = np.asarray(x_known)
+            xpmh = np.asarray(x_padding_mask)
+            ch = np.asarray(c_codes)
+            x_full = np.zeros((bs, L, n_lanes), np.int32)
+            xk_full = np.zeros_like(x_full)
+            xpm_full = np.ones((bs, L), bool)
+            for r in range(bs):
+                lc_r = int(lens[r])
+                x_full[r, :lc_r] = ch[r, :lc_r]
+                x_full[r, lc_r:lc_r + lx] = xh[r]
+                xk_full[r, :lc_r] = ch[r, :lc_r]
+                xk_full[r, lc_r:lc_r + lx, 0] = xkh[r, :, 0]
+                xpm_full[r, :lc_r] = False
+                xpm_full[r, lc_r:lc_r + lx] = xpmh[r]
+            x = jnp.asarray(x_full)
+            x_known = jnp.asarray(xk_full)
+            x_padding_mask = jnp.asarray(xpm_full)
+            x_quant0 = x[..., 0]
+            offsets = jnp.asarray(lens, jnp.int32)
+            ragged = True
 
     t_lasts, is_reverse, cs = build_step_plan(T, dsh.jump_len, dsh.jump_n_sample)
 
@@ -367,6 +445,13 @@ def perform_simple_inference(nar_params, nar_cfg: ResidualTransformerConfig,
         c_codes_length, x, x_known, x_padding_mask, x_quant0,
         jnp.asarray(t_lasts), jnp.asarray(is_reverse), jnp.asarray(cs),
         uniforms, key_steps, offset=offset, retain_quant0=retain_quant0,
-        use_key=use_key)
+        use_key=use_key, ragged=ragged, offsets=offsets)
 
+    if ragged:
+        # per-row crop: row r's gen region starts at its own prompt length
+        lx = x.shape[1] - int(np.asarray(offsets).max())
+        idx = offsets[:, None] + jnp.arange(lx)[None, :]
+        return jnp.take_along_axis(
+            x_final, jnp.broadcast_to(idx[:, :, None], (bs, lx) + (x.shape[2],)),
+            axis=1)
     return x_final[:, offset:]

@@ -335,14 +335,22 @@ class Mars5TTS:
         self.last_timing = timer.report(audio_seconds=len(final_audio) / self.sr)
         return gen_codes_decoded, final_audio
 
-    def tts_batch(self, texts, ref_audio, ref_transcript: Optional[str] = None,
+    def tts_batch(self, texts, ref_audio, ref_transcript=None,
                   cfg: Optional[InferenceConfig] = None, seed: int = 0):
-        """Batched synthesis: several texts in one shared reference voice.
+        """Batched synthesis: several texts, one shared OR per-text voices.
 
-        BASELINE config #3 as a public API: one Encodec encode, one bucketed
-        batched AR decode (per-row prompts/cursors/EOS-length estimates), one
-        batched NAR diffusion over padded rows, batched vocoding. Per-text
-        sampling follows the same reference semantics as ``tts``.
+        BASELINE config #3 as a public API: one Encodec encode per distinct
+        reference, one bucketed batched AR decode (per-row prompts/speaker
+        streams/cursors/EOS-length estimates), one batched NAR diffusion over
+        padded rows (per-row reference lengths ride the ragged deep-clone
+        engine branch), batched vocoding. Per-text sampling follows the same
+        reference semantics as ``tts``.
+
+        Args:
+            ref_audio: one waveform (shared voice) or a list of ``len(texts)``
+                waveforms (one voice per text).
+            ref_transcript: str or per-text list, matching ``ref_audio``
+                (required under deep clone).
 
         Returns a list of ``(ar_codes, waveform)`` pairs, one per text.
         """
@@ -351,31 +359,50 @@ class Mars5TTS:
 
         cfg = cfg or InferenceConfig()
         timer = StageTimer()
-        if cfg.deep_clone and ref_transcript is None:
+        n = len(texts)
+        per_row_refs = isinstance(ref_audio, (list, tuple))
+        refs = list(ref_audio) if per_row_refs else [ref_audio]
+        if per_row_refs and len(refs) != n:
+            raise ValueError(f"{len(refs)} reference audios != {n} texts")
+        if isinstance(ref_transcript, (list, tuple)):
+            transcripts = list(ref_transcript)
+            if len(transcripts) != len(refs):
+                raise ValueError("per-row transcripts must match ref_audio")
+        else:
+            transcripts = [ref_transcript] * len(refs)
+        if cfg.deep_clone and any(t is None for t in transcripts):
             raise AssertionError(
                 "Inference config deep clone is set to true, but reference "
                 "transcript not specified! Please specify the transcript of the "
                 "prompt, or set deep_clone=False in the inference `cfg` argument.")
 
         with timer.stage("encode_reference"):
-            prompt_codec = np.asarray(self.encode_reference(ref_audio))  # (1, n_q, S)
-        raw_prompt_acoustic_len = prompt_codec.shape[-1]
+            codec_per_ref = [np.asarray(self.encode_reference(r)) for r in refs]
+        row_codec = (codec_per_ref if per_row_refs
+                     else [codec_per_ref[0]] * n)      # (1, n_q, S_i) per row
+        row_transcript = transcripts if per_row_refs else [transcripts[0]] * n
+        skip_fronts = [c.shape[-1] if cfg.deep_clone else 0 for c in row_codec]
 
         with timer.stage("tokenize"):
-            q0_str = " ".join(str(t) for t in prompt_codec[0, 0].tolist())
-            speech_tokens = self.speechtok.encode(q0_str.strip())
-            offset_speech = [p + len(self.texttok.vocab) for p in speech_tokens]
+            offset_speech_per_ref = []
+            for c in codec_per_ref:
+                q0_str = " ".join(str(t) for t in c[0, 0].tolist())
+                speech_tokens = self.speechtok.encode(q0_str.strip())
+                offset_speech_per_ref.append(
+                    [p + len(self.texttok.vocab) for p in speech_tokens])
+            row_offset_speech = (offset_speech_per_ref if per_row_refs
+                                 else [offset_speech_per_ref[0]] * n)
 
             prompts, first_codec_idxs, text_token_rows, est_lens = [], [], [], []
-            for text in texts:
+            for text, tr, offset_speech in zip(texts, row_transcript,
+                                               row_offset_speech):
                 text_tokens = self.texttok.encode(
                     "<|startoftext|>" + text.strip() + "<|endoftext|>",
                     allowed_special="all")
-                text_tokens_full = self.texttok.encode(
-                    "<|startoftext|>" + ref_transcript + " " + str(text).strip()
-                    + "<|endoftext|>", allowed_special="all")
                 if cfg.deep_clone:
-                    row_tokens = text_tokens_full
+                    row_tokens = self.texttok.encode(
+                        "<|startoftext|>" + tr + " " + str(text).strip()
+                        + "<|endoftext|>", allowed_special="all")
                     n_speech_inp = len(offset_speech)
                     prompt = row_tokens + offset_speech
                 else:
@@ -401,7 +428,7 @@ class Mars5TTS:
                 valid_start=len(self.texttok.vocab),
                 valid_end=len(self.texttok.vocab) + len(self.speechtok.vocab) + 1,
                 max_len=max_len)
-            spk_list = [prompt_codec[0].T] * len(texts)
+            spk_list = [c[0].T for c in row_codec]
             from .ops.pallas import enabled as _pallas_enabled
             if (self.ar_backend != "bf16" and cfg.use_kv_cache
                     and 2 <= len(texts) <= 8
@@ -442,8 +469,12 @@ class Mars5TTS:
                 ctl[i] = len(tr)
                 _x[i, : len(row)] = row[:, None]
                 xpm[i, : len(row)] = False
-            c_codes = np.repeat(prompt_codec.transpose(0, 2, 1), bs, axis=0)
-            ccl = np.full((bs,), c_codes.shape[1], np.int64)
+            lc_max = max(c.shape[-1] for c in row_codec)
+            c_codes = np.zeros((bs, lc_max, 8), np.int64)
+            ccl = np.zeros((bs,), np.int64)
+            for i, c in enumerate(row_codec):
+                c_codes[i, : c.shape[-1]] = c[0].T
+                ccl[i] = c.shape[-1]
 
             T = cfg.timesteps or self.default_T
             diff = MultinomialDiffusion(self.diffusion_n_classes, timesteps=T)
@@ -457,13 +488,20 @@ class Mars5TTS:
                 (c_text, c_codes, ctl, ccl, _x, xpm),
                 diff, diff.num_timesteps, dsh, retain_quant0=True,
                 key=jax.random.key(seed + 1, impl="rbg"))
-            skip_front = raw_prompt_acoustic_len if cfg.deep_clone else 0
-            grid = np.asarray(grid)[:, skip_front:]
+            # per-row prompt crop (deep clone repeats each row's own prompt
+            # frames at the front), left-aligned for batched vocoding
+            grid = np.asarray(grid)
+            out_lens = [max(len(row) - sk, 0)
+                        for row, sk in zip(rows, skip_fronts)]
+            lx_out = max(max(out_lens), 1)
+            grid_out = np.zeros((bs, lx_out, 8), np.int64)
+            for i, (row, sk) in enumerate(zip(rows, skip_fronts)):
+                grid_out[i, : out_lens[i]] = grid[i, sk: len(row)]
 
         with timer.stage("vocode"):
             self._require_vocoder()
             feats = codes_to_features(self.vocos["codebook_weights"],
-                                      jnp.asarray(grid.transpose(2, 0, 1)),
+                                      jnp.asarray(grid_out.transpose(2, 0, 1)),
                                       bins=self.vocos_cfg.codebook_size)
             audio = np.asarray(vocos_decode(self.vocos, self.vocos_cfg, feats, 1))
 
@@ -471,7 +509,7 @@ class Mars5TTS:
             results = []
             hop = self.vocos_cfg.hop_length
             for i, row in enumerate(rows):
-                wav = audio[i, : len(row) * hop]
+                wav = audio[i, : out_lens[i] * hop]
                 wav, _ = trim(wav, top_db=cfg.trim_db)
                 results.append((rows[i], wav))
 

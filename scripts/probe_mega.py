@@ -112,6 +112,7 @@ def main():
             h, _ = jax.lax.scan(body, x0, None, length=n)
             return h
 
+        profile_dir = os.environ.get("PROBE_PROFILE", "")
         results = {}
         for mode in ("0", "1"):
             os.environ["MARS5_NAR_MEGA"] = mode
@@ -123,6 +124,9 @@ def main():
                 t0 = time.perf_counter()
                 _ = np.asarray(run(dec, x0, memory, STEPS))
                 ts.append(time.perf_counter() - t0)
+            if profile_dir:
+                with jax.profiler.trace(f"{profile_dir}/mega{mode}"):
+                    _ = np.asarray(run(dec, x0, memory, STEPS))
             results[f"mega{mode}_ms_per_step"] = round(
                 float(np.median(ts)) / STEPS * 1e3, 3)
             results[f"mega{mode}_compile_s"] = round(compile_s, 1)

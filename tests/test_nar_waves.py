@@ -89,6 +89,68 @@ def test_wave_rows_match_solo(nar, deep):
             err_msg=f"wave row {j} (deep={deep}) diverged from solo")
 
 
+def test_mixed_voice_rows_match_solo(nar):
+    """Deep-clone batch whose rows use DIFFERENT reference voices (per-row
+    prompt lengths): the ragged engine branch must reproduce each row's solo
+    run bit-for-bit under a shared uniform stream (VERDICT r3 next #5)."""
+    cfg, params = nar
+    T, lt = 5, 6
+    lcs = [4, 2]                     # per-row reference (prompt) lengths
+    lgs = [5, 7]                     # per-row gen lengths; padded to 7
+    lx = max(lgs)
+    rng = np.random.default_rng(7)
+    diff = MultinomialDiffusion(K, timesteps=T)
+    dsh = _dsh(True)
+    t_lasts, _, _ = build_step_plan(T, 1, 1)
+    n = len(t_lasts)
+
+    c_texts = [rng.integers(0, 32, lt), rng.integers(0, 32, lt - 1)]
+    c_codes = [rng.integers(0, 1024, (lc, 8)) for lc in lcs]
+    l0 = [rng.integers(0, 1024, lg) for lg in lgs]
+    L = max(lcs) + lx
+    # one (n, 2, 1, L, 8, K) stream per row: the solo run consumes the prefix
+    # covering its own lc+lg grid; the ragged batch consumes the same entries
+    # at the same absolute positions (prompt at 0..lc-1, gen right after)
+    u_rows = [rng.random((n, 2, 1, L, 8, K)).astype(np.float32) for _ in lcs]
+    x_init_rows = [rng.integers(0, K, (1, lx, 8)) for _ in lcs]
+
+    solo = []
+    for j, (lc, lg) in enumerate(zip(lcs, lgs)):
+        x = np.repeat(l0[j][:, None], 8, axis=1)[None]
+        batch = (c_texts[j][None], c_codes[j][None], [len(c_texts[j])], [lc],
+                 x, np.zeros((1, lg), bool))
+        out = perform_simple_inference(
+            params, cfg, batch, diff, T, dsh,
+            uniforms=u_rows[j][:, :, :, : lc + lg],
+            x_init=x_init_rows[j][:, :lg])
+        solo.append(np.asarray(out)[0])
+
+    bs = len(lcs)
+    lc_max = max(lcs)
+    c_text = np.zeros((bs, lt), np.int64)
+    ctl = np.zeros((bs,), np.int64)
+    codes = np.zeros((bs, lc_max, 8), np.int64)
+    x = np.zeros((bs, lx, 8), np.int64)
+    xpm = np.ones((bs, lx), bool)
+    for j, (lc, lg) in enumerate(zip(lcs, lgs)):
+        c_text[j, : len(c_texts[j])] = c_texts[j]
+        ctl[j] = len(c_texts[j])
+        codes[j, :lc] = c_codes[j]
+        x[j, :lg] = np.repeat(l0[j][:, None], 8, axis=1)
+        xpm[j, :lg] = False
+    batch = (c_text, codes, ctl, np.asarray(lcs), x, xpm)
+    u = np.concatenate(u_rows, axis=2)
+    x_init = np.concatenate(x_init_rows, axis=0)
+    out = np.asarray(perform_simple_inference(
+        params, cfg, batch, diff, T, dsh, uniforms=u, x_init=x_init))
+
+    assert out.shape == (bs, lx, 8)
+    for j, lg in enumerate(lgs):
+        np.testing.assert_array_equal(
+            out[j, :lg], solo[j][:lg],
+            err_msg=f"mixed-voice row {j} diverged from its solo run")
+
+
 def test_scheduler_groups_and_crops(nar):
     from mars5_tts_tpu.serving.nar_waves import NarRequest, NarWaveScheduler
 
