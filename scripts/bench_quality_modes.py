@@ -86,7 +86,7 @@ def main():
                                           uniforms=ar_uniforms, interpret=False)
         return time.perf_counter() - t0, np.asarray(tokens)
 
-    def nar_stage(nar_p, l0, T, env=None):
+    def nar_stage(nar_p, l0, T, env=None, seed=1):
         diff = MultinomialDiffusion(1025, timesteps=T)
         dsh = DSH(last_greedy=True, x_0_temp=0.7, guidance_w=3.0, deep_clone=True,
                   q0_override_steps=min(20, T // 10),
@@ -101,7 +101,7 @@ def main():
                 (base_text, prompt_codec.transpose(0, 2, 1),
                  np.asarray([text_len]), np.asarray([n_prompt]), _x,
                  np.zeros((1, gen_frames), bool)),
-                diff, T, dsh, key=jax.random.key(1, impl="rbg")))
+                diff, T, dsh, key=jax.random.key(seed, impl="rbg")))
             return time.perf_counter() - t0, grid
         finally:
             for k, v in old.items():
@@ -135,6 +135,17 @@ def main():
     nar_stage(nar, l0, 200)                  # warm
     t_ref, ref_grid = nar_stage(nar, l0, 200)
     nar_out = {"bf16_T200": (t_ref, 1.0, 0.0)}
+    # --- noise-floor calibration (VERDICT r3 #3): the SAME parity config at a
+    # different PRNG seed. Two equally-valid trajectories through the same
+    # model define how far apart "perfect quality" runs naturally land, in
+    # both grid agreement and Vocos-feature distance; a reduced-T or quantized
+    # mode whose feature distance is within this floor is indistinguishable
+    # from reseeding and passes.
+    _, reseed_grid = nar_stage(nar, l0, 200, seed=2)
+    reseed_agree = float((reseed_grid[..., 1:] == ref_grid[..., 1:]).mean())
+    noise_floor = vocos_proxy(reseed_grid, ref_grid)
+    nar_out["bf16_T200_reseed"] = (t_ref, round(reseed_agree, 4),
+                                   round(noise_floor, 4))
     # per-K-group (gsize=128) weight+act scales on the fused-GEMM sites —
     # the round-3 fidelity dial (ops/quant.quantize_weight_grouped)
     from mars5_tts_tpu.models.layers import nar_w_group_keys
@@ -152,6 +163,18 @@ def main():
         nar_out[name] = (t_nar, round(agree, 4),
                          round(vocos_proxy(grid, ref_grid), 4))
 
+    # accept/reject: a mode passes when its Vocos-feature distance to the
+    # parity run is within 1.1x the reseed noise floor — i.e. swapping the
+    # mode in moves the vocoder input no further than an honest reseed does.
+    # (Token agreement is reported alongside but is NOT the criterion for
+    # reduced-T rows: different trajectories are expected to disagree
+    # token-wise exactly as reseeded runs do.)
+    margin = float(os.environ.get("QMODES_MARGIN", "1.1"))
+    nar_verdicts = {
+        name: (None if feat_l2 is None or name.startswith("bf16")
+               else bool(feat_l2 <= margin * noise_floor))
+        for name, (_, _, feat_l2) in nar_out.items()}
+
     modes = {}
     for ar_mode, (t_ar, tokens) in ar_out.items():
         gen = tokens[len(prompt):]
@@ -168,10 +191,17 @@ def main():
                 "ar_first_divergence": first_div,
                 "nar_grid_agree_vs_bf16_T200": grid_agree,
                 "nar_vocos_feature_rel_l2": feat_l2,
+                "nar_pass_vs_noise_floor": nar_verdicts[nar_mode],
             }
 
-    print(json.dumps({"metric": "rtf_quality_modes", "unit": "s/s",
-                      "value": modes["bf16+bf16_T200"]["rtf"], "modes": modes}))
+    print(json.dumps({
+        "metric": "rtf_quality_modes", "unit": "s/s",
+        "value": modes["bf16+bf16_T200"]["rtf"],
+        "criterion": (f"nar_vocos_feature_rel_l2 <= {margin} x reseed noise "
+                      f"floor ({round(noise_floor, 4)}); reseed grid "
+                      f"agreement {round(reseed_agree, 4)} is the agreement "
+                      f"scale, not a target"),
+        "modes": modes}))
 
 
 if __name__ == "__main__":

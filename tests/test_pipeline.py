@@ -111,6 +111,27 @@ def test_tts_batch(tiny_mars5):
     assert "ar_generate" in mars5.last_timing["stages_s"]
 
 
+@pytest.mark.parametrize("deep", [False, True])
+def test_tts_batch_per_row_voices(tiny_mars5, deep):
+    """Mixed-voice batch: per-text reference audios (and transcripts under deep
+    clone) ride the per-row speaker streams + ragged NAR branch end-to-end."""
+    from mars5_tts_tpu import InferenceConfig
+
+    mars5, _ = tiny_mars5
+    cfg = InferenceConfig(deep_clone=deep, generate_max_len_override=260,
+                          timesteps=6, trim_db=200)
+    refs = [_ref_audio(800), _ref_audio(1400) * 0.5]  # different lengths/voices
+    results = mars5.tts_batch(["one", "two here"], refs,
+                              ref_transcript=["a", "b c"], cfg=cfg, seed=4)
+    assert len(results) == 2
+    for codes, wav in results:
+        assert codes.ndim == 1 and (codes >= 0).all() and (codes < 1024).all()
+        assert wav.ndim == 1 and np.isfinite(wav).all()
+
+    with pytest.raises(ValueError, match="reference audios"):
+        mars5.tts_batch(["a"], refs, ref_transcript=["a", "b"], cfg=cfg)
+
+
 def test_longform_end_to_end(tiny_mars5):
     """synthesize_longform drives tts() per chunk and stitches (config #4)."""
     from mars5_tts_tpu import InferenceConfig
