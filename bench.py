@@ -135,6 +135,11 @@ def run_once(cfgs, params, seed=0, timings=None):
     assert n_gen == gen_frames, f"AR generated {n_gen} != {gen_frames}"
 
     l0 = (tokens[len(prompt):] - n_text).clip(0, 1023)
+    # The NAR grid is handed to the vocoder ON DEVICE (no host round trip):
+    # the nar stage wall is dispatch-only, the vocode stage absorbs the NAR
+    # device wait — per-stage split needs BENCH_SYNC_STAGES=1 (adds one
+    # fetch+upload round trip, ~40-50 ms on the axon tunnel).
+    sync_stages = os.environ.get("BENCH_SYNC_STAGES") == "1"
     with timer.stage("nar_diffusion"):
         c_text = rng.integers(0, n_text, (1, text_len))
         c_codes = prompt_codec.transpose(0, 2, 1)
@@ -148,10 +153,11 @@ def run_once(cfgs, params, seed=0, timings=None):
             nar, nar_cfg, (c_text, c_codes, np.asarray([text_len]),
                            np.asarray([n_prompt_frames]), _x, xpm),
             diff, 200, dsh, key=jax.random.key(seed, impl="rbg"))
-        grid = np.asarray(grid)
+        if sync_stages:
+            grid = np.asarray(grid)
 
     with timer.stage("vocode"):
-        audio = vocos_vocode(voc, voc_cfg, jnp.asarray(grid[0]), bandwidth_id=1,
+        audio = vocos_vocode(voc, voc_cfg, jnp.asarray(grid)[0], bandwidth_id=1,
                              pcm16=True)
         audio = np.asarray(audio)
 

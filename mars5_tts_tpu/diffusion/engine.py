@@ -60,16 +60,13 @@ def _progress_supported() -> bool:
     return True
 
 
-@functools.partial(jax.jit, static_argnames=("nar_cfg", "dsh", "offset",
-                                              "retain_quant0", "use_key",
-                                              "honor_last_greedy", "ragged"))
-def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
-                    diff_tables, c_text, c_codes, c_texts_length, c_codes_length,
-                    x0_seed, x_known, x_padding_mask, x_quant0,
-                    t_lasts, is_reverse, cs, uniforms, key, offset: int = 0,
-                    retain_quant0: bool = True, use_key: bool = True,
-                    honor_last_greedy: bool = False, ragged: bool = False,
-                    offsets=None):
+def _scan_impl(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
+               diff_tables, c_text, c_codes, c_texts_length, c_codes_length,
+               x0_seed, x_known, x_padding_mask, x_quant0,
+               t_lasts, is_reverse, cs, uniforms, key, offset: int = 0,
+               retain_quant0: bool = True, use_key: bool = True,
+               honor_last_greedy: bool = False, ragged: bool = False,
+               offsets=None):
     from ..models.nar import (nar_decoder_apply, nar_enc_inputs, nar_heads,
                               nar_spk_embedding, nar_timestep_mlps)
 
@@ -338,6 +335,54 @@ def _diffusion_scan(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
     return x_final
 
 
+_diffusion_scan = functools.partial(
+    jax.jit, static_argnames=("nar_cfg", "dsh", "offset", "retain_quant0",
+                              "use_key", "honor_last_greedy", "ragged"))(_scan_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("nar_cfg", "dsh", "offset",
+                                              "retain_quant0",
+                                              "honor_last_greedy"))
+def _diffusion_scan_serving(nar_params, nar_cfg: ResidualTransformerConfig,
+                            dsh: DSH, diff_tables, c_text, c_codes,
+                            c_texts_length, c_codes_length, x_codes,
+                            x_padding_mask, t_lasts, is_reverse, cs, key,
+                            offset: int = 0, retain_quant0: bool = True,
+                            honor_last_greedy: bool = False):
+    """Serving fast path: the whole trajectory INCLUDING the prologue (noise
+    init, L0 pinning, deep-clone prompt prepend) and the final crop as ONE
+    jitted graph. On the axon tunnel every eager jnp op in the host wrapper
+    is a separate device RPC (~10-20 ms); assembling in-graph turns ~8 RPCs
+    into the single scan dispatch (measured ~80 ms/call on the bench shape).
+
+    ``x_codes``: (bs, Lx, 8) int32 — the AR codes tiled across lanes (raw
+    batch ``x``). Draws the same randint noise from the same key split as the
+    host-side path, so outputs are bit-identical to it.
+    """
+    x_codes = x_codes.astype(jnp.int32)
+    bs = x_codes.shape[0]
+    key_init, key_steps = jax.random.split(key)
+    x_quant0 = x_codes[..., 0]
+    x = jax.random.randint(key_init, x_codes.shape, 0,
+                           diff_tables.num_classes, jnp.int32)
+    x = x.at[..., 0].set(x_quant0)
+    x_known = jnp.zeros_like(x).at[..., 0].set(x_quant0)
+    xpm = x_padding_mask
+    if offset:
+        prompt = c_codes.astype(jnp.int32)
+        x = jnp.concatenate([prompt, x], axis=1)
+        x_known = jnp.concatenate([prompt, x_known], axis=1)
+        xpm = jnp.concatenate([jnp.zeros((bs, offset), bool), xpm], axis=-1)
+        x_quant0 = jnp.concatenate([prompt[..., 0], x_quant0], axis=-1)
+    dummy_u = jnp.zeros((1,), jnp.float32)
+    out = _scan_impl(nar_params, nar_cfg, dsh, diff_tables, c_text, c_codes,
+                     c_texts_length, c_codes_length, x, x_known, xpm, x_quant0,
+                     t_lasts, is_reverse, cs, dummy_u, key_steps, offset=offset,
+                     retain_quant0=retain_quant0, use_key=True,
+                     honor_last_greedy=honor_last_greedy)
+    return out[:, offset:]
+
+
 def perform_simple_inference(nar_params, nar_cfg: ResidualTransformerConfig,
                              batch, diff: MultinomialDiffusion, T: int,
                              dsh: DSH = DSH(), retain_quant0: bool = True,
@@ -358,7 +403,7 @@ def perform_simple_inference(nar_params, nar_cfg: ResidualTransformerConfig,
         (1, Lx, 8) int32 token grid (deep-clone prompt frames cropped).
     """
     c_text, c_codes, c_texts_length, c_codes_length, x, x_padding_mask = [
-        jnp.asarray(v) for v in batch]
+        np.asarray(v) for v in batch]
     bs = c_text.shape[0]
     # The reference asserts bs=1; we support batched rows, including deep-clone
     # batches whose rows use DIFFERENT reference voices (per-row prompt
@@ -366,8 +411,34 @@ def perform_simple_inference(nar_params, nar_cfg: ResidualTransformerConfig,
 
     if key is None:
         key = jax.random.PRNGKey(0)
+    use_key = uniforms is None
+
+    # resolve the deep-clone geometry on host (static offset vs ragged)
+    offset = 0
+    ragged = False
+    offsets = None
+    if dsh.deep_clone:
+        lengths = set(int(v) for v in c_codes_length)
+        if len(lengths) == 1:
+            offset = lengths.pop()
+            assert c_codes.shape[1] == offset, (
+                "deep clone assumes no padded indices in c_codes (as the reference)")
+        else:
+            ragged = True
+
+    t_lasts, is_reverse, cs = build_step_plan(T, dsh.jump_len, dsh.jump_n_sample)
+
+    if use_key and x_init is None and not ragged:
+        # serving fast path: prologue + scan + crop in ONE dispatch
+        return _diffusion_scan_serving(
+            nar_params, nar_cfg, dsh, diff, c_text, c_codes, c_texts_length,
+            c_codes_length, x.astype(np.int32), x_padding_mask,
+            t_lasts, is_reverse, cs, key, offset=offset,
+            retain_quant0=retain_quant0)
+
     key_init, key_steps = jax.random.split(key)
 
+    x = jnp.asarray(x)
     x_quant0 = x[..., 0]
     if x_init is None:
         x_init = jax.random.randint(key_init, x.shape, 0, diff.num_classes, jnp.int32)
@@ -381,22 +452,15 @@ def perform_simple_inference(nar_params, nar_cfg: ResidualTransformerConfig,
     # this wrapper is the single source of truth for that structure.
     x_known = jnp.zeros_like(x).at[..., 0].set(x[..., 0])
 
-    offset = 0
-    ragged = False
-    offsets = None
     if dsh.deep_clone:
-        lengths = set(int(v) for v in np.asarray(c_codes_length))
-        if len(lengths) == 1:
-            lc = lengths.pop()
-            assert c_codes.shape[1] == lc, (
-                "deep clone assumes no padded indices in c_codes (as the reference)")
-            prompt = c_codes.astype(jnp.int32)
+        if not ragged:
+            lc = offset
+            prompt = jnp.asarray(c_codes).astype(jnp.int32)
             x = jnp.concatenate([prompt, x], axis=1)
             x_known = jnp.concatenate([prompt, x_known], axis=1)
             x_padding_mask = jnp.concatenate(
-                [jnp.zeros((bs, lc), bool), x_padding_mask], axis=-1)
+                [jnp.zeros((bs, lc), bool), jnp.asarray(x_padding_mask)], axis=-1)
             x_quant0 = jnp.concatenate([prompt[..., 0], x_quant0], axis=-1)
-            offset = lc
         else:
             # Mixed-voice batches: per-row prompt lengths. Each row is
             # [prompt_r (lc_r, all lanes known); gen (Lx); pad], assembled on
@@ -430,11 +494,7 @@ def perform_simple_inference(nar_params, nar_cfg: ResidualTransformerConfig,
             x_padding_mask = jnp.asarray(xpm_full)
             x_quant0 = x[..., 0]
             offsets = jnp.asarray(lens, jnp.int32)
-            ragged = True
 
-    t_lasts, is_reverse, cs = build_step_plan(T, dsh.jump_len, dsh.jump_n_sample)
-
-    use_key = uniforms is None
     if use_key:
         uniforms = jnp.zeros((1,), jnp.float32)  # placeholder, untraced branch
     else:

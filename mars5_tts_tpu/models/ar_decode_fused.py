@@ -106,10 +106,18 @@ def _fused_body(fp, dims, cfg, s: ArSampling, st: FusedState,
     return upd
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "dims", "s", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "dims", "s", "interpret",
+                                              "draw_uniforms"))
 def _generate_fused_jit(params, fp, cfg: CodecLMConfig, dims: FusedDims,
                         s: ArSampling, prompt_padded, prompt_len, spk_codes,
-                        uniforms, est_len, interpret=False):
+                        uniforms, est_len, interpret=False,
+                        draw_uniforms=False, seed=0):
+    if draw_uniforms:
+        # drawn in-graph: the serving wrapper passes a host int seed instead of
+        # paying a separate PRNGKey+uniform dispatch round-trip over the axon
+        # tunnel (~10-20 ms each) before the decode launches
+        uniforms = jax.random.uniform(jax.random.PRNGKey(seed),
+                                      (s.max_len, prompt_padded.shape[0]))
     # ---- prefill through the bf16 XLA graph (one pass, batched matmuls) ----
     spk_vec = spk_embedding(params, cfg, spk_codes)
     all_logits, kvs = codeclm_prefill(params, cfg, prompt_padded, spk_vec)
@@ -145,7 +153,10 @@ def _generate_fused_jit(params, fp, cfg: CodecLMConfig, dims: FusedDims,
         lambda t: ~jnp.all(t.done),
         lambda t: _fused_body(fp, dims, cfg, s, t, interpret),
         st)
-    return final.tokens, final.cur, final.n_gen
+    # one packed int32 row: [final_len, n_gen, tokens...] — the wrapper fetches
+    # it in a SINGLE device->host round trip (3 separate fetches cost ~2 extra
+    # RPC latencies over the axon tunnel)
+    return jnp.concatenate([final.cur, final.n_gen, final.tokens[0]])
 
 
 def ar_generate_fused(params, fp, cfg: CodecLMConfig, dims: FusedDims, prompt,
@@ -160,22 +171,25 @@ def ar_generate_fused(params, fp, cfg: CodecLMConfig, dims: FusedDims, prompt,
     window = dims.window
     if len(prompt) + 1 > window:
         raise ValueError(f"prompt length {len(prompt)} exceeds window {window}")
-    prompt_padded = jnp.asarray(prompt, jnp.int32)[None]
-    prompt_len = jnp.asarray([len(prompt)], jnp.int32)
-    spk = jnp.asarray(spk_codes, jnp.int32)[None]
-    if uniforms is None:
-        uniforms = jax.random.uniform(jax.random.PRNGKey(seed),
-                                      (sampling.max_len, 1))
+    # host-side numpy only: every eager jnp op here would be its own device
+    # RPC; passing np arrays lets the ONE jit dispatch batch all transfers
+    prompt_padded = np.asarray(prompt, np.int32)[None]
+    prompt_len = np.asarray([len(prompt)], np.int32)
+    spk = np.asarray(spk_codes, np.int32)[None]
+    draw = uniforms is None
+    if draw:
+        uniforms = np.zeros((0,), np.float32)  # placeholder, untraced branch
     else:
-        uniforms = jnp.asarray(uniforms, jnp.float32)
+        uniforms = np.asarray(uniforms, np.float32)
         if uniforms.ndim == 1:
             uniforms = uniforms[:, None]
-    est = jnp.full((1,), sampling.n_phones_gen, jnp.int32)
-    tokens, final_len, n_gen = _generate_fused_jit(
+    est = np.full((1,), sampling.n_phones_gen, np.int32)
+    packed = np.asarray(_generate_fused_jit(
         params, fp, cfg, dims, sampling, prompt_padded, prompt_len, spk,
-        uniforms, est, interpret=interpret)
-    tokens = np.asarray(tokens)
-    return tokens[0, : int(final_len[0])], int(n_gen[0])
+        uniforms, est, interpret=interpret, draw_uniforms=draw,
+        seed=np.int32(seed)))
+    final_len, n_gen = int(packed[0]), int(packed[1])
+    return packed[2: 2 + final_len], n_gen
 
 
 # ---------------------------------------------------------------------------
@@ -271,12 +285,16 @@ def _fused_prefill_batched(params, cfg: CodecLMConfig, dims: FusedDims,
     return _sample_and_update(last_logits, st, s, rows)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "dims", "s", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "dims", "s", "interpret",
+                                              "draw_uniforms"))
 def _generate_fused_batched_jit(params, fp, cfg: CodecLMConfig,
                                 dims: FusedDims, s: ArSampling, prompt_padded,
                                 prompt_len, spk_codes, uniforms, est_len,
                                 active, rows: RowSampling | None = None,
-                                interpret=False):
+                                interpret=False, draw_uniforms=False, seed=0):
+    if draw_uniforms:  # in-graph draw: see _generate_fused_jit
+        uniforms = jax.random.uniform(jax.random.PRNGKey(seed),
+                                      (s.max_len, prompt_padded.shape[0]))
     st = _fused_prefill_batched(params, cfg, dims, s, prompt_padded,
                                 prompt_len, spk_codes, uniforms, est_len,
                                 active, rows)
@@ -284,7 +302,9 @@ def _generate_fused_batched_jit(params, fp, cfg: CodecLMConfig,
         lambda t: ~jnp.all(t.done),
         lambda t: _fused_body_batched(fp, dims, cfg, s, t, rows, interpret),
         st)
-    return final.tokens, final.cur, final.n_gen
+    # packed (B, 2 + max_len): [final_len | n_gen | tokens] — single fetch
+    return jnp.concatenate(
+        [final.cur[:, None], final.n_gen[:, None], final.tokens], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -412,20 +432,18 @@ def ar_generate_fused_batched(params, fp, cfg: CodecLMConfig, dims: FusedDims,
     for i, c in enumerate(spk_codes_list):
         spk[i, : c.shape[0]] = np.asarray(c, np.int32)
 
-    if uniforms is None:
-        uniforms = jax.random.uniform(jax.random.PRNGKey(seed),
-                                      (sampling.max_len, B))
+    draw = uniforms is None
+    if draw:
+        uniforms = np.zeros((0,), np.float32)  # placeholder, untraced branch
     else:
-        uniforms = jnp.asarray(uniforms, jnp.float32)
+        uniforms = np.asarray(uniforms, np.float32)
     est = np.full((B,), sampling.n_phones_gen, np.int32)
     if est_lens is not None:
         est[:n] = np.asarray(est_lens, np.int32)
-    active = jnp.asarray(np.arange(B) < n)
-    tokens, final_len, n_gen = _generate_fused_batched_jit(
-        params, fp, cfg, dims, sampling, jnp.asarray(prompt_padded),
-        jnp.asarray(prompt_len), jnp.asarray(spk), uniforms,
-        jnp.asarray(est), active, rows, interpret=interpret)
-    tokens = np.asarray(tokens)
-    final_len = np.asarray(final_len)
-    n_gen = np.asarray(n_gen)
+    active = np.arange(B) < n
+    packed = np.asarray(_generate_fused_batched_jit(
+        params, fp, cfg, dims, sampling, prompt_padded,
+        prompt_len, spk, uniforms, est, active, rows, interpret=interpret,
+        draw_uniforms=draw, seed=np.int32(seed)))
+    final_len, n_gen, tokens = packed[:, 0], packed[:, 1], packed[:, 2:]
     return [(tokens[i, : final_len[i]], int(n_gen[i])) for i in range(n)]

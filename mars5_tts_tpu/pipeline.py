@@ -19,6 +19,7 @@ Differences from the reference (all TPU-motivated, none API-visible):
 from __future__ import annotations
 
 import logging
+import os
 from typing import Optional
 
 import jax
@@ -324,7 +325,12 @@ class Mars5TTS:
                 key=jax.random.key(seed + 1, impl="rbg"))
 
             skip_front = raw_prompt_acoustic_len if cfg.deep_clone else 0
-            final_output = np.asarray(final_output)[0, skip_front:]
+            # device hand-off: the grid goes straight into the vocoder without
+            # a host round trip (the vocode stage wall absorbs the NAR device
+            # wait; MARS5_SYNC_STAGES=1 restores per-stage sync for profiling)
+            final_output = jnp.asarray(final_output)[0, skip_front:]
+            if os.environ.get("MARS5_SYNC_STAGES") == "1":
+                final_output = np.asarray(final_output)
 
         with timer.stage("vocode"):
             final_audio = self.vocode(final_output)

@@ -1,0 +1,65 @@
+#!/usr/bin/env bash
+# Per-file test runner: each test file gets its OWN pytest process.
+#
+# Why: (a) the XLA CPU compiler can rarely SEGFAULT deep into a long
+# single-process run (seen in rounds 3/4, different tests each time, inside
+# backend_compile_and_load); per-file processes turn that from a suite-abort
+# into one retryable file. (b) per-file wall times are printed, so slow
+# creep is visible.
+#
+# Usage:
+#   tests/run_suite.sh            # the 'not slow' subset (CI default)
+#   tests/run_suite.sh --slow     # everything, incl. full-geometry smokes
+#   tests/run_suite.sh tests/test_foo.py [...]   # explicit files
+#
+# A file that fails is retried ONCE (covers the known segfault flake); a
+# second failure fails the suite.
+set -u
+cd "$(dirname "$0")/.."
+
+MARK="-m not_slow_placeholder"
+ARGS=()
+if [[ "${1:-}" == "--slow" ]]; then
+    MARK=""
+    shift
+fi
+if [[ $# -gt 0 ]]; then
+    FILES=("$@")
+else
+    FILES=(tests/test_*.py)
+fi
+
+total_rc=0
+total_t0=$(date +%s)
+declare -a SUMMARY
+for f in "${FILES[@]}"; do
+    t0=$(date +%s)
+    if [[ -n "$MARK" ]]; then
+        out=$(python -m pytest "$f" -q -m 'not slow' 2>&1)
+    else
+        out=$(python -m pytest "$f" -q 2>&1)
+    fi
+    rc=$?
+    if [[ $rc -ne 0 && $rc -ne 5 ]]; then
+        echo "== RETRY $f (rc=$rc) — tail of first attempt:"
+        echo "$out" | tail -5
+        if [[ -n "$MARK" ]]; then
+            out=$(python -m pytest "$f" -q -m 'not slow' 2>&1)
+        else
+            out=$(python -m pytest "$f" -q 2>&1)
+        fi
+        rc=$?
+    fi
+    t1=$(date +%s)
+    line=$(echo "$out" | tail -1)
+    printf '%-40s %4ds  rc=%d  %s\n' "$f" "$((t1 - t0))" "$rc" "$line"
+    SUMMARY+=("$f:$((t1 - t0))s:rc=$rc")
+    if [[ $rc -ne 0 && $rc -ne 5 ]]; then   # 5 = no tests collected (all slow)
+        total_rc=1
+        echo "$out" | tail -20
+    fi
+done
+total_t1=$(date +%s)
+echo "----"
+echo "suite wall: $((total_t1 - total_t0))s  overall rc=$total_rc"
+exit $total_rc
