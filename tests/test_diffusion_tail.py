@@ -174,10 +174,15 @@ def test_engine_fused_tail_matches_dense(monkeypatch):
               enable_kevin_scaled_inference=True)
     key = jax.random.key(3, impl="rbg")
 
-    from mars5_tts_tpu.diffusion.engine import _diffusion_scan
+    from mars5_tts_tpu.diffusion.engine import (_diffusion_scan,
+                                                _diffusion_scan_serving)
+
+    def _clear():
+        _diffusion_scan.clear_cache()
+        _diffusion_scan_serving.clear_cache()
 
     monkeypatch.setenv("MARS5_FUSED_TAIL", "0")
-    _diffusion_scan.clear_cache()  # env knobs are read at trace time
+    _clear()  # env knobs are read at trace time
     dense = np.asarray(perform_simple_inference(pq, cfg, batch, diff, 8, dsh,
                                                 key=key))
 
@@ -191,8 +196,8 @@ def test_engine_fused_tail_matches_dense(monkeypatch):
         return orig(*args, **kw)
 
     monkeypatch.setattr(dt, "diffusion_tail", interp_tail)
-    _diffusion_scan.clear_cache()
+    _clear()
     fused = np.asarray(perform_simple_inference(pq, cfg, batch, diff, 8, dsh,
                                                 key=key))
-    _diffusion_scan.clear_cache()  # don't leak the interpret trace to others
+    _clear()  # don't leak the interpret trace to others
     np.testing.assert_array_equal(dense, fused)

@@ -328,11 +328,23 @@ def test_engine_fused_interpret_and_grouped(monkeypatch):
               jump_n_sample=1, q0_override_steps=2)
     key = jax.random.key(0, impl="rbg")
 
+    # env knobs are read at TRACE time: clear the jit caches between toggles,
+    # otherwise the second call silently reuses the first graph and the
+    # comparison is vacuous
+    from mars5_tts_tpu.diffusion.engine import (_diffusion_scan,
+                                                _diffusion_scan_serving)
+
+    def _clear():
+        _diffusion_scan.clear_cache()
+        _diffusion_scan_serving.clear_cache()
+
     monkeypatch.setenv("MARS5_NAR_FUSED", "0")
+    _clear()
     g_unfused = np.asarray(perform_simple_inference(pq, cfg, batch, diff, T,
                                                     dsh, key=key))
     monkeypatch.setenv("MARS5_NAR_FUSED", "1")
     monkeypatch.setenv("MARS5_NAR_FUSED_INTERPRET", "1")
+    _clear()
     g_fused = np.asarray(perform_simple_inference(pq, cfg, batch, diff, T,
                                                   dsh, key=key))
     g_fused2 = np.asarray(perform_simple_inference(pq, cfg, batch, diff, T,
@@ -344,9 +356,11 @@ def test_engine_fused_interpret_and_grouped(monkeypatch):
     assert agree > 0.5, f"fused-vs-unfused grid agreement {agree:.2f}"
 
     monkeypatch.setenv("MARS5_NARF_GSIZE", "32")
+    _clear()
     g_grouped = np.asarray(perform_simple_inference(pg, cfg, batch, diff, T,
                                                     dsh, key=key))
     assert g_grouped.shape == g_fused.shape
     assert (g_grouped[..., 0] == g_unfused[..., 0]).all()
     agree_g = (g_grouped == g_fused).mean()
     assert agree_g > 0.5, f"grouped-vs-per-row agreement {agree_g:.2f}"
+    _clear()  # don't leak interpret traces to other tests

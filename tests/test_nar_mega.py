@@ -281,14 +281,26 @@ def test_engine_mega_interpret(monkeypatch):
               jump_n_sample=1, q0_override_steps=2)
     key = jax.random.key(0, impl="rbg")
 
+    # env knobs are read at TRACE time: clear the jit caches between toggles,
+    # otherwise the mega call silently reuses the unfused graph (vacuous)
+    from mars5_tts_tpu.diffusion.engine import (_diffusion_scan,
+                                                _diffusion_scan_serving)
+
+    def _clear():
+        _diffusion_scan.clear_cache()
+        _diffusion_scan_serving.clear_cache()
+
     monkeypatch.setenv("MARS5_NAR_FUSED", "0")
+    _clear()
     g_unfused = np.asarray(perform_simple_inference(pq, cfg, batch, diff, T,
                                                     dsh, key=key))
     monkeypatch.setenv("MARS5_NAR_MEGA_INTERPRET", "1")
+    _clear()
     g_mega = np.asarray(perform_simple_inference(pq, cfg, batch, diff, T,
                                                  dsh, key=key))
     g_mega2 = np.asarray(perform_simple_inference(pq, cfg, batch, diff, T,
                                                   dsh, key=key))
+    _clear()  # don't leak the interpret trace to other tests
     np.testing.assert_array_equal(g_mega, g_mega2)
     assert (g_mega[..., 0] == g_unfused[..., 0]).all()
     agree = (g_mega == g_unfused).mean()
