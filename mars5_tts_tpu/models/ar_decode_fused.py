@@ -62,11 +62,35 @@ def prepare_fused(params, cfg: CodecLMConfig, max_len: int, wbits: int = 8,
     """
     dims = make_dims(cfg, max_len, wbits=wbits, batch=batch)
     fp = build_fused_pack(params, cfg, dims)
-    hq, hs = quantize_weight(params["ar"]["output"], axis=-1)
-    fp["head_q"], fp["head_s"] = hq, hs.astype(jnp.float32)
+    import os
+    if wbits == 4 and os.environ.get("MARS5_HEAD4", "0") == "1":
+        # OPT-IN int4 head (MARS5_HEAD4=1): halves the second-largest
+        # per-token stream (~26 ms over a bench decode) but the head error is
+        # NOT residual-diluted like backbone int4 — measured ~11% max logit
+        # perturbation on Gaussian weights (tests/test_head4.py) vs the int8
+        # head's ~0.9%, so it stays off the production default.
+        from ..ops.pallas.head4 import pack_head4
+        fp["head4_p"], fp["head4_s"] = pack_head4(params["ar"]["output"])
+    else:
+        hq, hs = quantize_weight(params["ar"]["output"], axis=-1)
+        fp["head_q"], fp["head_s"] = hq, hs.astype(jnp.float32)
     fp["final_norm"] = params["ar"]["norm"]
     fp["embed"] = params["embed"]
     return fp, dims
+
+
+def _head_logits(fp, cfg: CodecLMConfig, h, interpret):
+    """Output head: int4 Pallas stream when the pack carries head4, else the
+    int8 XLA head. ``interpret`` follows the engine convention (None = jnp
+    emulation oracle, True = Pallas interpreter, False = compiled)."""
+    if "head4_p" in fp:
+        from ..ops.pallas.head4 import head4_logits, head4_logits_emulation
+        if interpret is None:
+            return head4_logits_emulation(h, fp["head4_p"], fp["head4_s"],
+                                          n_vocab=cfg.n_vocab)
+        return head4_logits(h, fp["head4_p"], fp["head4_s"],
+                            n_vocab=cfg.n_vocab, interpret=bool(interpret))
+    return linear_q8(h, fp["head_q"], fp["head_s"]).astype(jnp.float32)
 
 
 def _fused_backbone_step(fp, dims: FusedDims, cfg: CodecLMConfig, token, pos,
@@ -83,7 +107,7 @@ def _fused_backbone_step(fp, dims: FusedDims, cfg: CodecLMConfig, token, pos,
             fp, x, pos, cache_k, cache_v, kv_scales, dims=dims,
             norm_eps=cfg.norm_eps, interpret=interpret)
     h = rms_norm(h[0:1].astype(jnp.bfloat16), fp["final_norm"], cfg.norm_eps)
-    logits = linear_q8(h, fp["head_q"], fp["head_s"]).astype(jnp.float32)
+    logits = _head_logits(fp, cfg, h, interpret)
     slot = jnp.mod(pos, dims.window)
     k8, ks_new = quantize_kv_rows(k_new)      # (L, 1, d) -> (L, 1)
     v8, vs_new = quantize_kv_rows(v_new)
@@ -216,7 +240,7 @@ def _fused_backbone_step_batched(fp, dims: FusedDims, cfg: CodecLMConfig,
             fp, x, pos_vec, cache_k, cache_v, kv_scales, dims=dims,
             norm_eps=cfg.norm_eps, interpret=interpret)
     h = rms_norm(h[:B].astype(jnp.bfloat16), fp["final_norm"], cfg.norm_eps)
-    logits = linear_q8(h, fp["head_q"], fp["head_s"]).astype(jnp.float32)
+    logits = _head_logits(fp, cfg, h, interpret)
     slot = jnp.mod(pos_vec, dims.window)                    # (B,)
     k8, ks_new = quantize_kv_rows(k_new[:, :B])             # (L, B, d), (L, B)
     v8, vs_new = quantize_kv_rows(v_new[:, :B])
