@@ -181,15 +181,19 @@ def _scan_impl(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
 
         Consumes the SAME u0 stream as the dense path (shared-randomness
         quality harness); frame/class padding feeds the 128-aligned kernel and
-        is sliced off. See ops/pallas/diffusion_tail.py.
+        is sliced off. Default (MARS5_FUSED_HEADTAIL=1): the folded-heads GEMM
+        runs INSIDE the tail program (heads_diffusion_tail) so the
+        (frames x classes) logits never leave VMEM; =0 falls back to the
+        two-program chain (XLA heads -> diffusion_tail), bit-identical.
         """
-        from ..ops.pallas.diffusion_tail import diffusion_tail, tail_scalars
+        from ..ops.pallas.diffusion_tail import (diffusion_tail,
+                                                 heads_diffusion_tail,
+                                                 tail_scalars)
         l_gen_p = -(-l_gen // _TAIL_BL) * _TAIL_BL
         pad_f = l_gen_p - l_gen
         outs = model_out_slice(x, t_last)
         if pad_f:
             outs = jnp.pad(outs, ((0, 0), (0, pad_f), (0, 0)))
-        yflat = nar_heads_folded(heads_folded, outs, flat=True)
         u0 = jax.random.uniform(jax.random.fold_in(key, 3 * i),
                                 (bs, l_gen, n_lanes - 1, num_classes))
         u0p = jnp.pad(u0, ((0, 0), (0, pad_f), (0, 0),
@@ -200,10 +204,20 @@ def _scan_impl(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
         scal = tail_scalars(diff, t_last, diff.log_num_classes)
         if dsh.last_greedy and honor_last_greedy:
             scal = scal.at[5].set(jnp.where(t_last == 0, 0.0, 1.0))
-        idx = diffusion_tail(
-            yflat, u0p.reshape(bs, l_gen_p, (n_lanes - 1) * _KP), xt, scal,
-            n_classes=num_classes, w=float(w), temp=float(dsh.x_0_temp),
-            bl=_TAIL_BL)
+        if os.environ.get("MARS5_FUSED_HEADTAIL", "1") == "1":
+            from ..models.nar import nar_heads_prequant
+            x8, xs_act = nar_heads_prequant(outs)
+            idx = heads_diffusion_tail(
+                x8, xs_act, heads_folded,
+                u0p.reshape(bs, l_gen_p, (n_lanes - 1) * _KP), xt, scal,
+                n_classes=num_classes, w=float(w), temp=float(dsh.x_0_temp),
+                bl=_TAIL_BL)
+        else:
+            yflat = nar_heads_folded(heads_folded, outs, flat=True)
+            idx = diffusion_tail(
+                yflat, u0p.reshape(bs, l_gen_p, (n_lanes - 1) * _KP), xt, scal,
+                n_classes=num_classes, w=float(w), temp=float(dsh.x_0_temp),
+                bl=_TAIL_BL)
         return idx[:, :l_gen]
 
     def step(carry, inp):

@@ -215,6 +215,22 @@ def fold_quant_heads(p, cfg: ResidualTransformerConfig, lanes: tuple,
     return {"q": q2, "s": s2, "b": bfold}
 
 
+def nar_heads_prequant(out, eps: float = 1e-5):
+    """The LN-normalize + act-quant prologue of nar_heads_folded, split out so
+    the fused heads+tail kernel (ops/pallas/diffusion_tail.heads_diffusion_tail)
+    can take int8 activations and keep the logits VMEM-resident. Bit-matches
+    nar_heads_folded's prologue op-for-op.
+
+    Returns (x8 int8, xs f32 (…, 1)).
+    """
+    from ..ops.quant import quantize_act
+    xf = out.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    nrm = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(out.dtype)
+    return quantize_act(nrm)
+
+
 def nar_heads_folded(folded, out, eps: float = 1e-5, flat: bool = False):
     """Merged-GEMM output heads from fold_quant_heads (W8A8 serving path).
 

@@ -146,6 +146,136 @@ def diffusion_tail(y, u0p, x_t, scalars, *, n_classes: int, w: float,
     return out[..., 0].transpose(0, 2, 1)             # (bs, Lp, n_lanes)
 
 
+def _heads_tail_kernel(scal_ref, xc_ref, xsc_ref, xu_ref, xsu_ref, q_ref,
+                       s_ref, b_ref, u_ref, xt_ref, o_ref, *,
+                       n_classes: int, w: float, temp: float):
+    """Heads GEMM + tail in one pass: blocks xc/xu (1, BL, D) int8 activations
+    (cond/uncond rows), xsc/xsu (1, BL, 1) f32 act scales, q (1, KP, D) int8
+    folded head weights for THIS lane, s/b (1, KP) f32 scales/biases.
+
+    Replicates nar_heads_folded's op chain bit-for-bit (int32 dot -> f32 *
+    (act_scale * w_scale) + bias -> bf16 cast) so the sampled indices match
+    the two-program path exactly; the (frames x classes) logits never leave
+    VMEM (saves the ~25 MB/step HBM round trip plus the pad copies).
+
+    s_ref/b_ref hold ALL lanes (n_lanes, KP) — 32 KB each, VMEM-resident —
+    indexed by the lane grid id (a (1, KP) block would violate Mosaic's
+    second-minor divisibility rule).
+    """
+    q = q_ref[0]                                      # (KP, D) int8
+    h = pl.program_id(1)
+    s_row = s_ref[h]
+    b_row = b_ref[h]
+
+    def head_z(x_ref, xs_ref):
+        y = jax.lax.dot_general(x_ref[0], q, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (xs_ref[0] * s_row[None])
+        y = y + b_row[None]
+        return y.astype(jnp.bfloat16)                 # match XLA yflat dtype
+
+    zc = head_z(xc_ref, xsc_ref).astype(jnp.float32)
+    if w == 1.0:
+        z = zc
+    else:
+        z = w * zc + (1.0 - w) * head_z(xu_ref, xsu_ref).astype(jnp.float32)
+
+    a = scal_ref[0]
+    b1 = scal_ref[1]
+    hot = scal_ref[2]
+    cold = scal_ref[3]
+    is_t0 = scal_ref[4]
+    use_g = scal_ref[5]
+
+    s = z / temp
+    m = jnp.max(s, axis=1, keepdims=True)
+    lse = jnp.log(jnp.sum(jnp.exp(s - m), axis=1, keepdims=True))
+    log_x0 = s - m - lse
+    la = log_x0 + a
+    mx = jnp.maximum(la, b1)
+    lev = mx + jnp.log(jnp.exp(la - mx) + jnp.exp(b1 - mx))
+    lev = jnp.where(is_t0 > 0.5, log_x0, lev)
+    col = jax.lax.broadcasted_iota(jnp.int32, lev.shape, 1)
+    xt = xt_ref[0, 0]
+    un = lev + jnp.where(col == xt, hot, cold)
+    u = u_ref[0]
+    g = -jnp.log(jnp.maximum(-jnp.log(jnp.maximum(u, 1e-7)), 1e-7))
+    y = un + g * use_g
+    y = jnp.where(col < n_classes, y, _NEG)
+    ymax = jnp.max(y, axis=1, keepdims=True)
+    idx = jnp.min(jnp.where(y == ymax, col, jnp.int32(2 ** 30)), axis=1,
+                  keepdims=True)
+    o_ref[0, 0] = idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_classes", "w", "temp", "bl",
+                                             "interpret"))
+def heads_diffusion_tail(x8, xs, folded, u0p, x_t, scalars, *, n_classes: int,
+                         w: float, temp: float, bl: int = 128,
+                         interpret: bool = False):
+    """Folded-heads GEMM + CFG + posterior + Gumbel argmax in ONE program.
+
+    Args:
+        x8: (rows, Lp, D) int8 — LN-normalized, act-quantized decoder output
+            (rows = 2*bs cond-then-uncond under CFG, bs otherwise).
+        xs: (rows, Lp, 1) f32 activation scales.
+        folded: fold_quant_heads(pad_to=KP) dict — q (n_lanes, KP, D) int8,
+            s/b (n_lanes, KP) f32.
+        u0p/x_t/scalars: as diffusion_tail.
+    Returns:
+        (bs, Lp, n_lanes) int32 sampled indices, bit-identical to
+        nar_heads_folded(flat=True) -> diffusion_tail.
+    """
+    rows, lp, d = x8.shape
+    n_lanes, kp, _ = folded["q"].shape
+    bs = u0p.shape[0]
+    assert lp % bl == 0 and kp % 128 == 0 and rows in (bs, 2 * bs)
+    cfg2 = rows == 2 * bs
+
+    xt_t = x_t.transpose(0, 2, 1)[..., None]          # (bs, n_lanes, Lp, 1)
+    grid = (bs, n_lanes, lp // bl)
+    xc_spec = pl.BlockSpec((1, bl, d), lambda b, h, i: (b, i, 0),
+                           memory_space=pltpu.VMEM)
+    xsc_spec = pl.BlockSpec((1, bl, 1), lambda b, h, i: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    xu_spec = pl.BlockSpec((1, bl, d),
+                           (lambda b, h, i: (bs + b, i, 0)) if cfg2 else
+                           (lambda b, h, i: (b, i, 0)),
+                           memory_space=pltpu.VMEM)
+    xsu_spec = pl.BlockSpec((1, bl, 1),
+                            (lambda b, h, i: (bs + b, i, 0)) if cfg2 else
+                            (lambda b, h, i: (b, i, 0)),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_heads_tail_kernel, n_classes=n_classes,
+                               w=w if cfg2 else 1.0, temp=temp)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bs, n_lanes, lp, 1), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            xc_spec, xsc_spec, xu_spec, xsu_spec,
+            pl.BlockSpec((1, kp, d), lambda b, h, i: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_lanes, kp), lambda b, h, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_lanes, kp), lambda b, h, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bl, kp), lambda b, h, i: (b, i, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bl, 1), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bl, 1), lambda b, h, i: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(scalars, x8, xs, x8, xs, folded["q"], folded["s"], folded["b"],
+      u0p, xt_t)
+    return out[..., 0].transpose(0, 2, 1)             # (bs, Lp, n_lanes)
+
+
 def tail_scalars(diff, t_last, log_num_classes: float):
     """Per-step posterior scalars, bit-matching multinomial's scalar math.
 

@@ -155,6 +155,39 @@ def test_folded_heads_padded_classes():
     assert (grid[..., K:] <= -1e29).all()
 
 
+@pytest.mark.parametrize("w", [1.0, 3.0])
+def test_heads_tail_matches_two_program(w):
+    """heads_diffusion_tail (GEMM in-kernel) == nar_heads_folded ->
+    diffusion_tail, index-exact: the fused program replicates the XLA heads
+    chain (int32 dot, f32 scale+bias, bf16 cast) bit-for-bit."""
+    from mars5_tts_tpu.models.nar import nar_heads_prequant
+    from mars5_tts_tpu.ops.pallas.diffusion_tail import heads_diffusion_tail
+
+    cfg = ResidualTransformerConfig.tiny(n_text_vocab=32)
+    p = quantize_nar(init_nar(jax.random.PRNGKey(2), cfg, dtype=jnp.float32))
+    folded = fold_quant_heads(p, cfg, tuple(range(1, 8)), pad_to=KP)
+    rng = np.random.default_rng(3)
+    bs, L = 1, 128
+    rows = bs if w == 1.0 else 2 * bs
+    out = jnp.asarray(rng.standard_normal((rows, L, cfg.dim)), jnp.bfloat16)
+    u0 = jnp.asarray(rng.random((bs, L, NL, K)), jnp.float32)
+    u0p = jnp.pad(u0, ((0, 0), (0, 0), (0, 0), (0, KP - K))).reshape(
+        bs, L, NL * KP)
+    xt = jnp.asarray(rng.integers(0, K, (bs, L, NL)), jnp.int32)
+    diff = MultinomialDiffusion(K, timesteps=8)
+    for t_val in (0, 3, 7):
+        scal = tail_scalars(diff, jnp.int32(t_val), diff.log_num_classes)
+        yflat = nar_heads_folded(folded, out, flat=True)
+        idx_two = diffusion_tail(yflat, u0p, xt, scal, n_classes=K, w=w,
+                                 temp=0.7, bl=64, interpret=True)
+        x8, xs = nar_heads_prequant(out)
+        idx_one = heads_diffusion_tail(x8, xs, folded, u0p, xt, scal,
+                                       n_classes=K, w=w, temp=0.7, bl=64,
+                                       interpret=True)
+        np.testing.assert_array_equal(np.asarray(idx_one), np.asarray(idx_two),
+                                      err_msg=f"t={t_val} w={w}")
+
+
 def test_engine_fused_tail_matches_dense(monkeypatch):
     """Whole-engine check: fused-tail grids == dense-path grids (quantized)."""
     from mars5_tts_tpu.config import DSH
@@ -186,16 +219,22 @@ def test_engine_fused_tail_matches_dense(monkeypatch):
     dense = np.asarray(perform_simple_inference(pq, cfg, batch, diff, 8, dsh,
                                                 key=key))
 
-    # force the fused path on CPU: enabled() -> True + interpret-mode kernel
+    # force the fused path on CPU: enabled() -> True + interpret-mode kernels
     monkeypatch.setenv("MARS5_FUSED_TAIL", "1")
     monkeypatch.setattr(pk, "enabled", lambda: True)
     orig = dt.diffusion_tail
+    orig_ht = dt.heads_diffusion_tail
 
     def interp_tail(*args, **kw):
         kw["interpret"] = True
         return orig(*args, **kw)
 
+    def interp_heads_tail(*args, **kw):
+        kw["interpret"] = True
+        return orig_ht(*args, **kw)
+
     monkeypatch.setattr(dt, "diffusion_tail", interp_tail)
+    monkeypatch.setattr(dt, "heads_diffusion_tail", interp_heads_tail)
     _clear()
     fused = np.asarray(perform_simple_inference(pq, cfg, batch, diff, 8, dsh,
                                                 key=key))
