@@ -20,6 +20,36 @@ import jax.numpy as jnp
 NEG_INF = float("-inf")
 
 
+def topk_blocked(logits, k: int, nb: int = 8):
+    """Exact ``lax.top_k`` via per-block top-k + candidate merge.
+
+    XLA's TopK custom fusion over the full (1, 24000) vocab costs ~94 us/token
+    on v5e — the largest non-GEMM op in the AR decode loop. Splitting the vocab
+    into ``nb`` blocks, taking the per-block top-k (one batched call) and
+    merging the ``nb*k`` candidates with a second top-k is exact (every global
+    top-k element is in its block's top-k) and measures 3x faster on-chip
+    (scripts/probe_topk.py: 94 -> ~12 us effective). Values are bit-identical
+    to ``lax.top_k``; index order can differ only on exact value ties that
+    straddle a block boundary (measure-zero for continuous logits; the merge
+    prefers lower block index, matching top_k's lowest-index-first tie rule for
+    the common case of ties within one block).
+
+    Falls back to plain ``lax.top_k`` when the vocab doesn't split cleanly or
+    is too small for blocking to pay.
+    """
+    v = logits.shape[-1]
+    if v % nb or v // nb <= 2 * k:
+        return jax.lax.top_k(logits, k)
+    bs = logits.shape[0]
+    xb = logits.reshape(bs * nb, v // nb)
+    bv, bi = jax.lax.top_k(xb, k)                         # (bs*nb, k)
+    base = (jnp.arange(nb, dtype=bi.dtype) * (v // nb))[None, :, None]
+    bi = (bi.reshape(bs, nb, k) + base).reshape(bs, nb * k)
+    bv = bv.reshape(bs, nb * k)
+    mv, mi = jax.lax.top_k(bv, k)                         # merge candidates
+    return mv, jnp.take_along_axis(bi, mi, axis=-1)
+
+
 def freq_presence_penalty(logits, counts, alpha_frequency: float, alpha_presence: float):
     """``logits - counts*α_freq - (counts>0)*α_presence`` (mars5/samplers.py:20-36).
 
@@ -67,7 +97,7 @@ def top_k_top_p_filter(logits, top_k: int = 0, top_p: float = 1.0, min_tokens: i
     v = logits.shape[-1]
     if top_k > 0:
         k = min(max(top_k, min_tokens), v)
-        kth = jax.lax.top_k(logits, k)[0][..., -1:]
+        kth = topk_blocked(logits, k)[0][..., -1:]
         logits = jnp.where(logits < kth, NEG_INF, logits)
 
     if top_p < 1.0:
@@ -127,7 +157,7 @@ def filter_topk_subset(logits, top_k: int, top_p: float = 1.0,
     v = logits.shape[-1]
     bs = logits.shape[0]
     k = min(max(top_k, min_tokens), v)
-    vals, idx = jax.lax.top_k(logits, k)  # (bs, k), sorted descending
+    vals, idx = topk_blocked(logits, k)  # (bs, k), sorted descending
 
     if top_p < 1.0:
         cum = jnp.cumsum(jax.nn.softmax(vals, axis=-1), axis=-1)
@@ -170,7 +200,7 @@ def filter_topk_subset_rows(logits, max_k: int, k_row, top_p_row, typical_row,
     bs = logits.shape[0]
     v = logits.shape[-1]
     k = min(max(max_k, min_tokens), v)
-    vals, idx = jax.lax.top_k(logits, k)  # (bs, k) descending
+    vals, idx = topk_blocked(logits, k)  # (bs, k) descending
 
     # dynamic per-row k: positions >= k_row are cut (lowest-index-first ties,
     # same as lax.top_k's static behavior)

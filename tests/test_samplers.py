@@ -126,3 +126,20 @@ def test_inverse_cdf_sampling_statistics():
     cdf = np.cumsum(probs)
     expect = np.searchsorted(cdf, us[:200] * cdf[-1], side="right")
     np.testing.assert_array_equal(draws, expect)
+
+
+def test_topk_blocked_exact():
+    """topk_blocked == lax.top_k (values AND indices) at the AR hot-path shape,
+    plus the non-divisible / small-vocab fallbacks."""
+    import jax
+    import jax.numpy as jnp
+    from mars5_tts_tpu.ops.sampling import topk_blocked
+
+    rng = np.random.default_rng(7)
+    for bs, v, k in [(1, 24_000, 200), (4, 24_000, 200), (2, 1024, 64),
+                     (1, 24_001, 200), (1, 4096, 200)]:
+        x = jnp.asarray(rng.standard_normal((bs, v)).astype(np.float32))
+        bv, bi = jax.jit(lambda x: jax.lax.top_k(x, k))(x)
+        tv, ti = jax.jit(lambda x: topk_blocked(x, k))(x)
+        np.testing.assert_array_equal(np.asarray(bv), np.asarray(tv))
+        np.testing.assert_array_equal(np.asarray(bi), np.asarray(ti))
