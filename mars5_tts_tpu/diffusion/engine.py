@@ -155,13 +155,14 @@ def _scan_impl(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
                                               keepdims=False)
         t_dec = jnp.broadcast_to(
             jax.lax.dynamic_index_in_dim(t_dec_all, t_last, 0)[0][None], (rows, dim))
+        # offset > 0 (deep clone): the stack drops the prompt rows internally
+        # (final layer runs on the query slice — ulp-level identical rows).
         if cfg_batched:
-            out = nar_decoder_apply(nar_params, nar_cfg, jnp.concatenate([x, x], 0),
-                                    xpm2, t_dec, memory, c_padding)
-        else:
-            out = nar_decoder_apply(nar_params, nar_cfg, x, x_padding_mask, t_dec,
-                                    memory, c_padding)
-        return out[:, offset:]
+            return nar_decoder_apply(nar_params, nar_cfg,
+                                     jnp.concatenate([x, x], 0), xpm2, t_dec,
+                                     memory, c_padding, q_tail_start=offset)
+        return nar_decoder_apply(nar_params, nar_cfg, x, x_padding_mask, t_dec,
+                                 memory, c_padding, q_tail_start=offset)
 
     def model_x0_gen(x, t_last):
         """CFG-combined x̂0 logits (f32) on the generated-frame slice, lanes 1+.

@@ -131,7 +131,8 @@ def nar_w_group_keys() -> tuple:
 
 
 def decoder_layer_fused(p, x, memory, nhead: int, tgt_key_padding_mask=None,
-                        memory_key_padding_mask=None, interpret: bool = False):
+                        memory_key_padding_mask=None, interpret: bool = False,
+                        q_start: int = 0):
     """decoder_layer with every W8A8 GEMM site fused into a Pallas kernel.
 
     Same math as ``decoder_layer`` (groups=1; compiler-rounding level): LN
@@ -139,6 +140,15 @@ def decoder_layer_fused(p, x, memory, nhead: int, tgt_key_padding_mask=None,
     quant/rescale/residual epilogues run inside the GEMM programs; the SwiGLU
     intermediate never leaves VMEM. Attention cores are unchanged (Pallas
     flash self-attention, XLA cross-attention at tiny Lk).
+
+    ``q_start > 0`` (final-layer fast path): the layer's output rows before
+    ``q_start`` are dropped by the caller (deep-clone prompt frames feed the
+    heads of NOTHING — engine.model_out_slice discards them), so everything
+    after the self-attention K/V projection runs on the ``[q_start:]`` query
+    slice only. Keys/values still cover the full sequence; kept rows match the full
+    computation exactly at the integer-GEMM sites and to ulp-level at the
+    bf16/f32 XLA ops (shape-dependent FMA re-fusion). Returns
+    (B, L - q_start, D).
     """
     from ..ops.norms import layer_norm
     from ..ops.pallas.mha import sdpa_pallas
@@ -168,6 +178,10 @@ def decoder_layer_fused(p, x, memory, nhead: int, tgt_key_padding_mask=None,
         q = qkv[..., 0, :].reshape(b, l, nhead, hd)
         k = qkv[..., 1, :].reshape(b, l, nhead, hd)
         v = qkv[..., 2, :].reshape(b, l, nhead, hd)
+    if q_start:
+        q = q[:, q_start:]
+        x = x[:, q_start:]
+        l = l - q_start
     a = sdpa_pallas(q, k, v, tgt_key_padding_mask, interpret=interpret)
     a = a.reshape(b, l, d)
     if "saout" in sites:
@@ -274,7 +288,17 @@ def _use_nar_mega(p, x, nhead: int) -> bool:
 
 
 def decoder_stack(p, x, memory, nhead: int, tgt_key_padding_mask=None,
-                  memory_key_padding_mask=None):
+                  memory_key_padding_mask=None, q_tail_start: int = 0):
+    """Stacked decoder layers + final LayerNorm.
+
+    ``q_tail_start > 0``: the caller only consumes output rows from that
+    index on (deep-clone prompt frames never feed the output heads —
+    diffusion/engine.model_out_slice), so the FINAL layer runs its
+    post-K/V work on the ``[q_tail_start:]`` query slice (ulp-level identical
+    kept rows; see decoder_layer_fused) and the return value is already sliced:
+    (B, L - q_tail_start, D). Applied on the fused serving path; other paths
+    compute the full grid and slice at the end (same result).
+    """
     if _use_nar_mega(p, x, nhead):
         import os
         from ..ops.pallas.nar_mega import mega_decoder_stack
@@ -282,11 +306,24 @@ def decoder_stack(p, x, memory, nhead: int, tgt_key_padding_mask=None,
             p["layers"], x, memory, nhead, tgt_key_padding_mask,
             memory_key_padding_mask, eps=LAYERNORM_EPS,
             interpret=os.environ.get("MARS5_NAR_MEGA_INTERPRET", "0") == "1")
-        return layer_norm(y, p["norm_w"], p["norm_b"], LAYERNORM_EPS)
+        y = layer_norm(y, p["norm_w"], p["norm_b"], LAYERNORM_EPS)
+        return y[:, q_tail_start:] if q_tail_start else y
 
     def step(h, layer_p):
         return decoder_layer(layer_p, h, memory, nhead,
                              tgt_key_padding_mask, memory_key_padding_mask), None
 
+    if q_tail_start and _use_nar_fused(
+            jax.tree.map(lambda a: a[-1], p["layers"]), x):
+        head_layers = jax.tree.map(lambda a: a[:-1], p["layers"])
+        last_layer = jax.tree.map(lambda a: a[-1], p["layers"])
+        x, _ = jax.lax.scan(_maybe_remat(step), x, head_layers)
+        x = decoder_layer_fused(last_layer, x, memory, nhead,
+                                tgt_key_padding_mask, memory_key_padding_mask,
+                                interpret=_nar_fused_interpret(),
+                                q_start=q_tail_start)
+        return layer_norm(x, p["norm_w"], p["norm_b"], LAYERNORM_EPS)
+
     x, _ = jax.lax.scan(_maybe_remat(step), x, p["layers"])
-    return layer_norm(x, p["norm_w"], p["norm_b"], LAYERNORM_EPS)
+    x = layer_norm(x, p["norm_w"], p["norm_b"], LAYERNORM_EPS)
+    return x[:, q_tail_start:] if q_tail_start else x

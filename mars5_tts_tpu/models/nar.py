@@ -105,14 +105,20 @@ def nar_enc_inputs(p, cfg: ResidualTransformerConfig, c_text, c_texts_length, sp
 
 
 def nar_decoder_apply(p, cfg: ResidualTransformerConfig, x, x_padding_mask, t_dec,
-                      memory, c_padding):
-    """Decoder stream + stack given a precomputed encoder memory."""
+                      memory, c_padding, q_tail_start: int = 0):
+    """Decoder stream + stack given a precomputed encoder memory.
+
+    ``q_tail_start``: drop output rows before this index INSIDE the stack
+    (final decoder layer runs on the query slice — ulp-level identical kept
+    rows; see decoder_stack). Returns (bs, Lx - q_tail_start, dim).
+    """
     h = chunked_embed(p["residual_encoder"], x)
     h = add_sine_pe(h, p["pos_alpha"])
     h = h + t_dec[:, None]
     return decoder_stack(p["decoder"], h, memory, nhead=cfg.nhead,
                          tgt_key_padding_mask=x_padding_mask,
-                         memory_key_padding_mask=c_padding)
+                         memory_key_padding_mask=c_padding,
+                         q_tail_start=q_tail_start)
 
 
 def nar_backbone(p, cfg: ResidualTransformerConfig, c_text, c_codes, c_texts_length,

@@ -364,3 +364,47 @@ def test_engine_fused_interpret_and_grouped(monkeypatch):
     agree_g = (g_grouped == g_fused).mean()
     assert agree_g > 0.5, f"grouped-vs-per-row agreement {agree_g:.2f}"
     _clear()  # don't leak interpret traces to other tests
+
+
+def test_decoder_stack_q_tail_start(monkeypatch):
+    """Final-layer query slicing (deep-clone prompt rows dropped inside the
+    stack) matches the full stack sliced afterwards: the integer-GEMM fused
+    sites are exact under the shape change; the bf16/f32 XLA ops may re-fuse
+    (FMA reassociation — the documented XLA-CPU bitwise lesson), so the
+    comparison allows ulp-level drift only."""
+    from mars5_tts_tpu.models.layers import decoder_stack
+    from mars5_tts_tpu.models.nar import ResidualTransformerConfig, init_nar
+    from mars5_tts_tpu.ops.quant import quantize_nar
+
+    cfg = ResidualTransformerConfig.tiny(n_text_vocab=32)
+    p = quantize_nar(init_nar(jax.random.PRNGKey(3), cfg, dtype=jnp.float32))
+    dec = p["decoder"]
+    rng_ = np.random.default_rng(5)
+    b, L, lc, s = 2, 24, 9, 10
+    d = dec["norm_w"].shape[-1]
+    x = jnp.asarray(rng_.standard_normal((b, L, d)).astype(np.float32))
+    memory = jnp.asarray(rng_.standard_normal((b, lc, d)).astype(np.float32))
+    kpm = jnp.zeros((b, L), bool).at[1, -3:].set(True)
+    mpm = jnp.zeros((b, lc), bool).at[0, -2:].set(True)
+
+    def both():
+        full = decoder_stack(dec, x, memory, nhead=cfg.nhead,
+                             tgt_key_padding_mask=kpm,
+                             memory_key_padding_mask=mpm)
+        tail = decoder_stack(dec, x, memory, nhead=cfg.nhead,
+                             tgt_key_padding_mask=kpm,
+                             memory_key_padding_mask=mpm, q_tail_start=s)
+        assert tail.shape == (b, L - s, d)
+        return np.asarray(full[:, s:]), np.asarray(tail)
+
+    monkeypatch.setenv("MARS5_NAR_FUSED_INTERPRET", "1")
+    w, g = both()
+    scale = np.abs(w).max()
+    np.testing.assert_allclose(g, w, atol=1e-5 * scale, rtol=0)
+    assert (g == w).mean() > 0.9  # ulp drift touches only a few percent
+
+    # XLA fallback path: slicing happens after the stack -> bitwise equal
+    monkeypatch.setenv("MARS5_NAR_FUSED_INTERPRET", "0")
+    monkeypatch.setenv("MARS5_NAR_FUSED", "0")
+    w, g = both()
+    np.testing.assert_array_equal(w, g)
