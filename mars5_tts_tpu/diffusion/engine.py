@@ -136,6 +136,16 @@ def _scan_impl(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
             nar_params, nar_cfg, tuple(range(1, n_lanes)),
             pad_to=_KP if use_fused_tail else None)
 
+    if offset:
+        # Pre-split the decoder stack for the final-layer query slice
+        # (decoder_stack q_tail_start): the a[:-1]/a[-1] weight slices must
+        # happen ONCE here — traced inside the step, XLA leaves them in the
+        # loop body (~0.7 ms/step of s8 copies, measured). Unused leaves are
+        # DCE'd on paths that don't take the sliced tail.
+        from ..models.layers import split_decoder_tail
+        nar_params = dict(nar_params)
+        nar_params["decoder"] = split_decoder_tail(nar_params["decoder"])
+
     def _gen_heads(out_slice):
         if heads_folded is not None:
             return nar_heads_folded(heads_folded, out_slice)

@@ -287,6 +287,21 @@ def _use_nar_mega(p, x, nhead: int) -> bool:
     return enabled()
 
 
+def split_decoder_tail(p):
+    """Pre-split the stacked decoder layers for the q_tail_start fast path.
+
+    Returns a shallow copy of ``p`` with ``layers_head`` (first N-1 layers,
+    stacked) and ``layer_last`` added. Call ONCE outside any step loop: the
+    slices copy the weight stacks, and XLA will not hoist them out of an
+    enclosing ``while`` if they are traced inside the step (measured
+    ~0.7 ms/step of s8 weight copies at MARS5 geometry).
+    """
+    out = dict(p)
+    out["layers_head"] = jax.tree.map(lambda a: a[:-1], p["layers"])
+    out["layer_last"] = jax.tree.map(lambda a: a[-1], p["layers"])
+    return out
+
+
 def decoder_stack(p, x, memory, nhead: int, tgt_key_padding_mask=None,
                   memory_key_padding_mask=None, q_tail_start: int = 0):
     """Stacked decoder layers + final LayerNorm.
@@ -313,10 +328,19 @@ def decoder_stack(p, x, memory, nhead: int, tgt_key_padding_mask=None,
         return decoder_layer(layer_p, h, memory, nhead,
                              tgt_key_padding_mask, memory_key_padding_mask), None
 
-    if q_tail_start and _use_nar_fused(
-            jax.tree.map(lambda a: a[-1], p["layers"]), x):
-        head_layers = jax.tree.map(lambda a: a[:-1], p["layers"])
+    # NOTE: callers running this inside a step loop MUST pre-split the
+    # stacked layer weights (split_decoder_tail) — XLA does not hoist the
+    # a[:-1]/a[-1] slices out of an enclosing while loop, and the un-hoisted
+    # copies cost ~0.7 ms/step at MARS5 geometry (measured, r4 trace). The
+    # diffusion engine passes the split via p["layers_head"]/p["layer_last"];
+    # the slices below only run for one-shot callers.
+    last_layer = p.get("layer_last")
+    if last_layer is None and q_tail_start:
         last_layer = jax.tree.map(lambda a: a[-1], p["layers"])
+    if q_tail_start and _use_nar_fused(last_layer, x):
+        head_layers = p.get("layers_head")
+        if head_layers is None:
+            head_layers = jax.tree.map(lambda a: a[:-1], p["layers"])
         x, _ = jax.lax.scan(_maybe_remat(step), x, head_layers)
         x = decoder_layer_fused(last_layer, x, memory, nhead,
                                 tgt_key_padding_mask, memory_key_padding_mask,

@@ -44,6 +44,11 @@ def linear(x, w, b=None):
     return y
 
 
+def _scores_bf16() -> bool:
+    import os
+    return os.environ.get("MARS5_SDPA_BF16", "1") == "1"
+
+
 def sdpa(q, k, v, mask=None):
     """Scaled dot-product attention.
 
@@ -58,11 +63,21 @@ def sdpa(q, k, v, mask=None):
     scale = 1.0 / (dh ** 0.5)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
+    if q.dtype == jnp.bfloat16 and _scores_bf16():
+        # Serving fast path (bf16 inputs only — fp32 parity is untouched):
+        # store the (B, H, Lq, Lk) score tensor bf16 instead of f32, halving
+        # the dominant HBM traffic of the XLA attention path (the NAR
+        # cross-attention writes+reads ~9.4 MB/layer/step of scores; the
+        # 400-sequence encoder precompute ~95 MB/layer). The f32->bf16
+        # rounding perturbs probs by ~2^-8 relative — well inside the W8A8
+        # serving envelope (per-GEMM ~1.1%); scored by bench_quality_modes.
+        # MARS5_SDPA_BF16=0 restores f32 scores.
+        logits = logits.astype(jnp.bfloat16)
     if mask is not None:
         if mask.dtype == jnp.bool_:
             logits = jnp.where(mask, logits, NEG_INF)
         else:
-            logits = logits + mask.astype(jnp.float32)
+            logits = logits + mask.astype(logits.dtype)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
                      preferred_element_type=jnp.float32)

@@ -25,6 +25,7 @@ def _sampling(max_len):
                       max_len=max_len)
 
 
+@pytest.mark.slow
 def test_batched_rows_match_single_runs(tiny_setup):
     from mars5_tts_tpu.models.ar_decode import ar_generate_batched
 

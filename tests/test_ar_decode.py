@@ -115,6 +115,7 @@ def test_ar_generate_token_parity(ref_ar_generate, use_kv_cache, typical_p, top_
         f"ref : {ref_tokens.tolist()}\nours: {ours.tolist()}")
 
 
+@pytest.mark.slow
 def test_nocache_matches_cached_engine():
     """use_kv_cache=False path: full-forward-per-step decode must produce the
     same tokens as the ring-cache engine (they compute the same banded-window

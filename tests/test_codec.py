@@ -91,6 +91,7 @@ def test_rvq_matches_torch_cdist():
     np.testing.assert_array_equal(np.asarray(ours), codes_ref)
 
 
+@pytest.mark.slow
 def test_encodec_encode_shapes_and_range():
     from mars5_tts_tpu.models.encodec import EncodecConfig, encodec_encode, init_encodec
 

@@ -57,6 +57,7 @@ def test_continuous_rejects_oversize_prompt(setup):
                                spk_codes=np.zeros((4, 8), int)))
 
 
+@pytest.mark.slow
 def test_per_request_sampling_matches_standalone(setup):
     """Heterogeneous sampling params across pool rows == standalone runs.
 
@@ -108,6 +109,7 @@ def test_per_request_sampling_matches_standalone(setup):
         assert req.tokens.tolist() == np.asarray(toks[0][: int(cur[0])]).tolist()
 
 
+@pytest.mark.slow
 def test_mixed_bucket_queue_matches_standalone(setup):
     """Shallow + deep prompts share the pool: per-bucket prefills, identical
     tokens vs standalone (VERDICT r2 #6 mixed-length production queue)."""

@@ -60,7 +60,7 @@ def _kernel(diff, cond, uncond, u0, xt, t_val, w, temp, greedy_t0=False):
                           bl=64, interpret=True)
 
 
-@pytest.mark.parametrize("t_val", [0, 1, 9, 19])
+@pytest.mark.parametrize("t_val", [pytest.param(0, marks=pytest.mark.slow), 1, 9, 19])
 @pytest.mark.parametrize("w", [3.0, 1.0])
 def test_tail_kernel_matches_dense(t_val, w):
     BS, L = 1, 128
@@ -93,6 +93,7 @@ def test_tail_kernel_greedy_t0():
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+@pytest.mark.slow
 def test_tail_kernel_batched_rows():
     BS, L = 2, 64
     diff = MultinomialDiffusion(K, timesteps=20)
@@ -125,6 +126,7 @@ def _nar_with_affines():
     return cfg, p
 
 
+@pytest.mark.slow
 def test_folded_heads_match_unfolded():
     cfg, p = _nar_with_affines()
     pq = quantize_nar(p)
@@ -188,6 +190,7 @@ def test_heads_tail_matches_two_program(w):
                                       err_msg=f"t={t_val} w={w}")
 
 
+@pytest.mark.slow
 def test_engine_fused_tail_matches_dense(monkeypatch):
     """Whole-engine check: fused-tail grids == dense-path grids (quantized)."""
     from mars5_tts_tpu.config import DSH

@@ -51,7 +51,7 @@ def _rand_cache(dims, seed):
     return quantize_kv_rows(jnp.asarray(c, jnp.float32))
 
 
-@pytest.mark.parametrize("pos", [5, 30])  # below and beyond the ring window
+@pytest.mark.parametrize("pos", [pytest.param(5, marks=pytest.mark.slow), 30])  # below and beyond the ring window
 def test_kernel_matches_emulation(setup, pos):
     params, fp, dims = setup
     x = jax.random.normal(jax.random.PRNGKey(1), (8, dims.dim), jnp.bfloat16)
@@ -70,7 +70,7 @@ def test_kernel_matches_emulation(setup, pos):
     np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_e), rtol=0, atol=1e-6)
 
 
-@pytest.mark.parametrize("pos", [5, 30, 70])  # chunk 0 only / wrap / mid-chunk
+@pytest.mark.parametrize("pos", [pytest.param(5, marks=pytest.mark.slow), 30, pytest.param(70, marks=pytest.mark.slow)])  # chunk 0 only / wrap / mid-chunk
 def test_kernel_matches_emulation_kv_chunked(setup, pos):
     """Prefix-chunked KV DMA (kv_chunk > 0): only chunks covering [0, pos]
     are copied; un-DMA'd tail rows must be excluded by the validity mask.
@@ -108,7 +108,7 @@ def test_kernel_matches_emulation_kv_chunked(setup, pos):
     np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_e), rtol=0, atol=1e-5)
 
 
-@pytest.mark.parametrize("pos", [5, 30])
+@pytest.mark.parametrize("pos", [pytest.param(5, marks=pytest.mark.slow), 30])
 def test_kernel_matches_emulation_w4(setup, pos):
     """int4 nibble-packed mode: interpret kernel == jnp emulation."""
     params, _, _ = setup
@@ -140,6 +140,7 @@ def test_w4_pack_roundtrip():
     np.testing.assert_array_equal(np.asarray(hi), np.asarray(qb))
 
 
+@pytest.mark.slow
 def test_w4_generation_runs(setup):
     """End-to-end int4 generation: emulation == interpret kernel tokens."""
     params, _, _ = setup
@@ -245,6 +246,7 @@ def test_kernel_matches_emulation_batched(setup):
     np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_e), rtol=0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_batched_generation_rows_match_single(setup):
     """Each batched row == its standalone 1-row batched run (same uniforms
     column), and interpret kernel == emulation end-to-end."""
@@ -277,6 +279,7 @@ def test_batched_generation_rows_match_single(setup):
         assert ((gen >= 10) & (gen < 510)).all()
 
 
+@pytest.mark.slow
 def test_fused_continuous_batcher_matches_oneshot(setup):
     """FusedContinuousBatcher (chunked pool, admissions mid-flight) produces
     the same tokens as one-shot ar_generate_fused_batched per request."""
@@ -310,6 +313,7 @@ def test_fused_continuous_batcher_matches_oneshot(setup):
         np.testing.assert_array_equal(req.tokens, ref_seq)
 
 
+@pytest.mark.slow
 def test_fused_pool_per_request_sampling(setup):
     """Per-request sampling overrides in the fused pool == standalone fused
     runs whose static ArSampling carries the same values."""

@@ -27,12 +27,14 @@ def test_mesh_and_specs():
     assert specs_tp7["ar"]["layers"]["wq"] == jax.sharding.PartitionSpec(None, None, None)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_vs_single_device_loss_match():
     """The dp x tp sharded AR loss equals the single-device loss."""
     import jax.numpy as jnp
@@ -85,6 +87,7 @@ def _ar_setup():
     return cfg, params, s, prompts, spks, uniforms
 
 
+@pytest.mark.slow
 def test_sharded_ar_decode_bit_identical():
     """DP-sharded batched decode (8 chips) == single-device engine, bitwise.
 
@@ -132,6 +135,7 @@ def test_sharded_ar_decode_with_tp():
         assert toks.tolist() == ref_seq.tolist()
 
 
+@pytest.mark.slow
 def test_sharded_nar_diffusion_matches_single_device():
     from mars5_tts_tpu.config import DSH
     from mars5_tts_tpu.diffusion import (MultinomialDiffusion,
@@ -159,6 +163,7 @@ def test_sharded_nar_diffusion_matches_single_device():
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_nar_tp_attention_sharded_logits_match():
     """VERDICT #6: attention shards head-aligned under tp; logits match replicated.
 

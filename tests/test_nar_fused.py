@@ -231,6 +231,7 @@ def test_wgrouped_tighter_than_per_row(layer, rng):
     assert e_grp < e_row
 
 
+@pytest.mark.slow
 def test_quantize_nar_grouped_keys():
     """quantize_nar(w_gsize) groups exactly the fused-site keys; the decoder
     layer then runs through the fused path (interpret) and stays close to the
@@ -302,6 +303,7 @@ def test_decoder_layer_fused_matches_unfused(layer):
     assert cos > 0.9999
 
 
+@pytest.mark.slow
 def test_engine_fused_interpret_and_grouped(monkeypatch):
     """The REAL diffusion engine through the fused decoder-layer kernels
     (MARS5_NAR_FUSED_INTERPRET=1 on CPU): per-row and grouped (sg) quant both

@@ -108,6 +108,7 @@ def _ref_jit(layers, x, memory, kpm, mpm):
               memory_key_padding_mask=mpm)
 
 
+@pytest.mark.slow
 def test_mega_kernel_matches_emulation_1layer():
     """ONE layer, all segments active: tight bounded match vs the jitted
     emulation. (Bitwise holds only per isolated segment — with every branch
@@ -255,6 +256,7 @@ def test_mega_mask_isolation(stack):
                                   np.asarray(pert[1, :90]))
 
 
+@pytest.mark.slow
 def test_engine_mega_interpret(monkeypatch):
     """The REAL diffusion engine through the megakernel on CPU
     (MARS5_NAR_MEGA_INTERPRET=1): deterministic, L0 lane pinned, grid tracks

@@ -34,6 +34,7 @@ def _dsh(deep):
 
 
 @pytest.mark.parametrize("deep", [True, False])
+@pytest.mark.slow
 def test_wave_rows_match_solo(nar, deep):
     cfg, params = nar
     T, lc, lt = 5, 4, 6
@@ -151,6 +152,7 @@ def test_mixed_voice_rows_match_solo(nar):
             err_msg=f"mixed-voice row {j} diverged from its solo run")
 
 
+@pytest.mark.slow
 def test_scheduler_groups_and_crops(nar):
     from mars5_tts_tpu.serving.nar_waves import NarRequest, NarWaveScheduler
 

@@ -57,6 +57,7 @@ def test_tts_deep_clone_requires_transcript(tiny_mars5):
                   cfg=InferenceConfig(deep_clone=True))
 
 
+@pytest.mark.slow
 def test_tts_determinism(tiny_mars5):
     from mars5_tts_tpu import InferenceConfig
 
@@ -95,6 +96,7 @@ def test_tts_shallow_none_transcript_typeerror(tiny_mars5):
                   cfg=InferenceConfig(deep_clone=False))
 
 
+@pytest.mark.slow
 def test_tts_batch(tiny_mars5):
     """Batched public API (config #3): several texts, one reference voice."""
     from mars5_tts_tpu import InferenceConfig
@@ -112,6 +114,7 @@ def test_tts_batch(tiny_mars5):
 
 
 @pytest.mark.parametrize("deep", [False, True])
+@pytest.mark.slow
 def test_tts_batch_per_row_voices(tiny_mars5, deep):
     """Mixed-voice batch: per-text reference audios (and transcripts under deep
     clone) ride the per-row speaker streams + ragged NAR branch end-to-end."""
@@ -132,6 +135,7 @@ def test_tts_batch_per_row_voices(tiny_mars5, deep):
         mars5.tts_batch(["a"], refs, ref_transcript=["a", "b"], cfg=cfg)
 
 
+@pytest.mark.slow
 def test_longform_end_to_end(tiny_mars5):
     """synthesize_longform drives tts() per chunk and stitches (config #4)."""
     from mars5_tts_tpu import InferenceConfig
@@ -150,6 +154,7 @@ def test_longform_end_to_end(tiny_mars5):
         24000  # stitching only adds/removes fades+gaps
 
 
+@pytest.mark.slow
 def test_tts_backend_knobs(tiny_mars5, tmp_path):
     """ar_backend/nar_backend knobs construct and synthesize on CPU.
 
@@ -182,6 +187,7 @@ def test_tts_backend_knobs(tiny_mars5, tmp_path):
     assert np.isfinite(np.asarray(wav2)).all()
 
 
+@pytest.mark.slow
 def test_tts_fused_branches_interpret(tmp_path_factory, monkeypatch):
     """The TPU-only fused AR branches of tts/tts_batch, driven on CPU via
     MARS5_FUSED_INTERPRET=emu (pure-jnp kernel emulation) at a kernel-legal
@@ -215,6 +221,7 @@ def test_tts_fused_branches_interpret(tmp_path_factory, monkeypatch):
         assert np.isfinite(np.asarray(w)).all()
 
 
+@pytest.mark.slow
 def test_deploy_predictor_end_to_end(tiny_mars5, tmp_path):
     """deploy/predict.Predictor: setup from checkpoints + WAV-in/WAV-out."""
     import sys

@@ -73,6 +73,7 @@ def test_w8a8_linear_error_bound():
     assert rel < 0.03  # W8A8 per-token: ~1-2% typical, 3% bound
 
 
+@pytest.mark.slow
 def test_quantized_nar_grid_divergence():
     """NAR W8A8: full 20-step diffusion grids vs fp32 — bounded divergence."""
     from mars5_tts_tpu.config import DSH
@@ -102,6 +103,7 @@ def test_quantized_nar_grid_divergence():
     assert (g0[..., 0] == g1[..., 0]).all()  # L0 lane pinned to AR codes in both
 
 
+@pytest.mark.slow
 def test_fused_ar_token_divergence():
     """Fused W8A8 AR decode vs bf16 XLA engine: shared uniforms, bounded drift."""
     from mars5_tts_tpu.models.ar import CodecLMConfig, init_codeclm
@@ -138,7 +140,7 @@ def test_fused_ar_token_divergence():
     del agree
 
 
-@pytest.mark.parametrize("wbits,budget", [(8, 0.02), (4, 0.05)])
+@pytest.mark.parametrize("wbits,budget", [pytest.param(8, 0.02, marks=pytest.mark.slow), (4, 0.05)])
 def test_fused_step_logit_error(wbits, budget):
     """Direct one-step fidelity: fused int8/int4(+KV8) logits vs bf16 engine.
 

@@ -51,6 +51,7 @@ def test_ar_loss_matches_manual_ce(tiny_train_setup):
     np.testing.assert_allclose(loss, nll.mean(), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_combined_step_reduces_losses(tiny_train_setup):
     from mars5_tts_tpu.train import make_train_step
 
@@ -83,6 +84,7 @@ def test_checkpoint_roundtrip(tiny_train_setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_production_optimizer_with_remat(tiny_train_setup, monkeypatch):
     """Clip + warmup-cosine schedule + grad accumulation + per-layer remat:
     the step runs, losses stay finite, and MultiSteps applies updates only
