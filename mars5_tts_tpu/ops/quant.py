@@ -248,6 +248,32 @@ def quantize_nar(params, act_int8: bool = True, w_gsize: int = 0,
         marker = jnp.zeros(q.shape[:-2] if q.ndim > 2 else ())
         return {"q": q, "sg": sg, "a8": marker}
 
+    def keep_or_quantize(w, k, want_grouped):
+        """Idempotence: params that already went through quantize_nar pass
+        through unchanged (bench.build() quantizes by default since round 4;
+        serving scripts layered a second quantize_nar on top and crashed with
+        'dict has no attribute astype'). A re-quantize in a DIFFERENT mode is
+        unsatisfiable from int8 leaves — fail loudly instead of silently
+        keeping the old scales."""
+        if is_quantized(w):
+            have_grouped = "sg" in w
+            # mirror qdict_grouped's K-divisibility fallback when comparing
+            if want_grouped and w["q"].shape[-1] % w_gsize:
+                want_grouped = False
+            if have_grouped != want_grouped or ("a8" in w) != act_int8:
+                raise ValueError(
+                    f"quantize_nar: leaf {k!r} is already quantized as "
+                    f"{'grouped' if have_grouped else 'per-row'}/"
+                    f"{'a8' if 'a8' in w else 'weight-only'} but "
+                    f"{'grouped' if want_grouped else 'per-row'}/"
+                    f"{'a8' if act_int8 else 'weight-only'} was requested — "
+                    "re-quantizing int8 leaves cannot change mode; start from "
+                    "the bf16 params (e.g. BENCH_NAR=bf16 before bench.build)")
+            return w
+        if want_grouped:
+            return qdict_grouped(w)
+        return mk(w)
+
     mk = qdict
     out = dict(params)
     for stack in ("encoder", "decoder"):
@@ -256,13 +282,13 @@ def quantize_nar(params, act_int8: bool = True, w_gsize: int = 0,
         grouped = act_int8 and w_gsize > 0 and stack == "decoder"
         for k in _NAR_QUANT_KEYS:
             if k in layers:
-                layers[k] = (qdict_grouped(layers[k])
-                             if grouped and k in w_group_keys
-                             else mk(layers[k]))
+                layers[k] = keep_or_quantize(
+                    layers[k], k, grouped and k in w_group_keys)
         st["layers"] = layers
         out[stack] = st
     rd = dict(params["residual_decoder"])
-    rd["lin_w"] = qdict(rd["lin_w"])  # (8, n_quant, d): N=1025, XLA path
+    # (8, n_quant, d): N=1025, XLA path
+    rd["lin_w"] = keep_or_quantize(rd["lin_w"], "lin_w", False)
     out["residual_decoder"] = rd
     return out
 

@@ -103,6 +103,27 @@ def test_quantized_nar_grid_divergence():
     assert (g0[..., 0] == g1[..., 0]).all()  # L0 lane pinned to AR codes in both
 
 
+def test_quantize_nar_idempotent():
+    """Double-quantize regression (round 4): bench.build() quantizes the NAR
+    by default, and serving scripts layered quantize_nar on top — the second
+    call must pass already-quantized leaves through unchanged (same mode) and
+    fail loudly on a mode change (int8 leaves can't be re-grouped)."""
+    from mars5_tts_tpu.models.layers import nar_w_group_keys
+    from mars5_tts_tpu.models.nar import ResidualTransformerConfig, init_nar
+    from mars5_tts_tpu.ops.quant import quantize_nar
+
+    cfg = ResidualTransformerConfig.tiny(n_text_vocab=32)
+    p = init_nar(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    pq = quantize_nar(p)
+    pq2 = quantize_nar(pq)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), pq, pq2)
+
+    with pytest.raises(ValueError, match="already quantized"):
+        quantize_nar(pq, w_gsize=2, w_group_keys=nar_w_group_keys())
+    with pytest.raises(ValueError, match="already quantized"):
+        quantize_nar(pq, act_int8=False)
+
+
 @pytest.mark.slow
 def test_fused_ar_token_divergence():
     """Fused W8A8 AR decode vs bf16 XLA engine: shared uniforms, bounded drift."""
