@@ -1,6 +1,7 @@
 from .continuous import ContinuousBatcher, FusedContinuousBatcher, Request
-from .longform import LongformResult, chunk_text, crossfade_concat, synthesize_longform
+from .longform import (LongformResult, StreamChunk, chunk_text,
+                       crossfade_concat, stream_longform, synthesize_longform)
 
 __all__ = ["ContinuousBatcher", "FusedContinuousBatcher",
-           "LongformResult", "Request", "chunk_text",
-           "crossfade_concat", "synthesize_longform"]
+           "LongformResult", "Request", "StreamChunk", "chunk_text",
+           "crossfade_concat", "stream_longform", "synthesize_longform"]

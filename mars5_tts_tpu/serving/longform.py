@@ -85,6 +85,21 @@ class LongformResult:
     timings: list[dict]
 
 
+@dataclass
+class StreamChunk:
+    """One incremental slice of a streaming long-form synthesis.
+
+    ``pcm`` is immediately playable: concatenating every ``pcm`` in order is
+    bit-identical to ``synthesize_longform(...).audio`` for the same inputs.
+    """
+    pcm: np.ndarray           # samples safe to play now (may be empty early on)
+    index: int                # which text chunk produced this yield
+    text: str                 # that chunk's text
+    audio_seconds: float      # duration of this chunk's (trimmed) segment
+    timing: dict              # per-chunk stage timing (tts_model.last_timing)
+    final: bool               # True on the last yield (stream fully flushed)
+
+
 def synthesize_longform(tts_model, text: str, ref_audio,
                         ref_transcript: Optional[str] = None,
                         cfg: Optional[InferenceConfig] = None,
@@ -109,3 +124,58 @@ def synthesize_longform(tts_model, text: str, ref_audio,
     return LongformResult(audio=crossfade_concat(segments, sr=tts_model.sr,
                                                  fade_ms=fade_ms, gap_ms=gap_ms),
                           chunks=chunks, chunk_audio_seconds=secs, timings=timings)
+
+
+def stream_longform(tts_model, text: str, ref_audio,
+                    ref_transcript: Optional[str] = None,
+                    cfg: Optional[InferenceConfig] = None,
+                    max_chars: int = 300, fade_ms: float = 20.0,
+                    gap_ms: float = 60.0, seed: int = 0):
+    """Streaming long-form narration: yields playable PCM incrementally.
+
+    Same synthesis as :func:`synthesize_longform`, but audio is surfaced as
+    soon as it is final: time-to-first-audio is one chunk's synthesis instead
+    of the whole narration. Because consecutive chunks are stitched with an
+    equal-power crossfade, the last ``fade`` samples of the running stream can
+    still be modified by the NEXT segment — those are held back and emitted
+    once the junction is resolved (or at end of stream). Concatenating every
+    yielded ``pcm`` is bit-identical to the batch stitcher's output (the
+    per-junction math below reproduces :func:`crossfade_concat` exactly).
+
+    Yields :class:`StreamChunk` once per text chunk (the last one carries
+    ``final=True`` and includes the held-back tail).
+    """
+    cfg = cfg or InferenceConfig()
+    chunks = chunk_text(text, max_chars=max_chars)
+    sr = tts_model.sr
+    fade = max(int(sr * fade_ms / 1000), 1)
+    gap = np.zeros(int(sr * gap_ms / 1000), np.float32)
+    held = np.zeros(0, np.float32)  # unemitted suffix of the stream
+    total = 0                       # stream length so far (= len(out) in crossfade_concat)
+    last = len(chunks) - 1
+    for i, chunk in enumerate(chunks):
+        _, audio = tts_model.tts(chunk, ref_audio, ref_transcript=ref_transcript,
+                                 cfg=cfg, seed=seed + i)
+        seg, _ = trim(np.asarray(audio), top_db=cfg.trim_db)
+        seg = seg.astype(np.float32)
+        if i == 0:
+            cur = seg
+            total = len(seg)
+        else:
+            held = np.concatenate([held, gap])
+            total += len(gap)
+            n = min(fade, total, len(seg))
+            if n > 0:
+                t = np.linspace(0.0, np.pi / 2, n, dtype=np.float32)
+                mixed = held[len(held) - n:] * np.cos(t) + seg[:n] * np.sin(t)
+                cur = np.concatenate([held[:len(held) - n], mixed, seg[n:]])
+            else:
+                cur = np.concatenate([held, seg])
+            total += len(seg) - n
+        # The next junction can rewrite at most min(fade, total) trailing
+        # samples (n above is capped by both); everything earlier is final.
+        keep = 0 if i == last else min(fade, total)
+        emit, held = cur[:len(cur) - keep], cur[len(cur) - keep:]
+        yield StreamChunk(pcm=emit, index=i, text=chunk,
+                          audio_seconds=len(seg) / sr,
+                          timing=dict(tts_model.last_timing), final=i == last)

@@ -43,3 +43,72 @@ def test_crossfade_single_and_empty():
     a = np.ones(100, np.float32)
     assert np.array_equal(crossfade_concat([a]), a)
     assert len(crossfade_concat([])) == 0
+
+
+class _FakeTTS:
+    """Deterministic stand-in for Mars5TTS: audio keyed on (text, seed)."""
+
+    sr = 24000
+
+    def __init__(self, seg_len=None):
+        self.last_timing = {}
+        self.seg_len = seg_len
+
+    def tts(self, text, ref_audio, ref_transcript=None, cfg=None, seed=0):
+        import zlib
+        rng = np.random.default_rng(zlib.crc32(f"{text}|{seed}".encode()))
+        n = self.seg_len if self.seg_len is not None else 2000 + (seed % 5) * 700
+        audio = (rng.standard_normal(n) * 0.3).astype(np.float32)
+        self.last_timing = {"seed": seed, "text": text}
+        return None, audio
+
+
+def _collect_stream(model, text, **kw):
+    from mars5_tts_tpu.serving import stream_longform
+
+    return list(stream_longform(model, text, ref_audio=None, ref_transcript="",
+                                **kw))
+
+
+def test_stream_matches_batch_bitexact():
+    """Concatenated stream PCM is bit-identical to synthesize_longform."""
+    from mars5_tts_tpu.serving import synthesize_longform
+
+    text = "One sentence here. Two now! Three follows? Four ends. Five more."
+    for kw in (dict(fade_ms=20.0, gap_ms=60.0),   # production defaults
+               dict(fade_ms=20.0, gap_ms=0.0),    # crossfade eats segment tails
+               dict(fade_ms=1000.0, gap_ms=5.0),  # fade longer than segments
+               dict(fade_ms=0.0, gap_ms=0.0)):    # fade floor of 1 sample
+        model = _FakeTTS(seg_len=900 if kw["fade_ms"] >= 1000 else None)
+        batch = synthesize_longform(model, text, ref_audio=None,
+                                    ref_transcript="", max_chars=16, **kw)
+        stream = _collect_stream(model, text, max_chars=16, **kw)
+        assert len(stream) == len(batch.chunks) >= 3
+        assert [c.text for c in stream] == batch.chunks
+        assert stream[-1].final and not any(c.final for c in stream[:-1])
+        joined = np.concatenate([c.pcm for c in stream])
+        assert joined.dtype == np.float32
+        assert np.array_equal(joined, batch.audio), kw
+
+
+def test_stream_first_audio_before_last_chunk():
+    """Playable samples appear before the narration finishes (TTFA win)."""
+    stream = _collect_stream(_FakeTTS(seg_len=2400), "A. B. C. D.", max_chars=2,
+                             fade_ms=20.0, gap_ms=60.0)
+    assert len(stream) == 4
+    fade = int(24000 * 0.020)
+    # every chunk yields audio as soon as it resolves; only the crossfade
+    # tail (fade samples) is withheld at each junction
+    assert all(len(c.pcm) > 0 for c in stream)
+    assert len(stream[0].pcm) >= 2400 - fade - 200  # minus trim slack
+
+
+def test_stream_single_chunk():
+    from mars5_tts_tpu.serving import synthesize_longform
+
+    model = _FakeTTS()
+    text = "Short."
+    batch = synthesize_longform(model, text, ref_audio=None, ref_transcript="")
+    stream = _collect_stream(model, text)
+    assert len(stream) == 1 and stream[0].final
+    assert np.array_equal(stream[0].pcm, batch.audio)

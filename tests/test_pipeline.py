@@ -153,6 +153,16 @@ def test_longform_end_to_end(tiny_mars5):
     assert abs(sum(result.chunk_audio_seconds) * 24000 - len(result.audio)) < \
         24000  # stitching only adds/removes fades+gaps
 
+    # streaming variant: chunks surface incrementally, concatenation is
+    # bit-identical to the batch stitcher (same seeds per chunk)
+    from mars5_tts_tpu.serving import stream_longform
+    stream = list(stream_longform(mars5, text, _ref_audio(), ref_transcript="",
+                                  cfg=cfg, max_chars=25, seed=0))
+    assert [c.text for c in stream] == result.chunks
+    assert stream[-1].final
+    assert all("rtf" in c.timing or c.timing for c in stream)
+    assert np.array_equal(np.concatenate([c.pcm for c in stream]), result.audio)
+
 
 @pytest.mark.slow
 def test_tts_backend_knobs(tiny_mars5, tmp_path):
