@@ -82,3 +82,11 @@ class DSH:
     deep_clone: bool = False
     q0_override_steps: int = 0
     progress: bool = False
+    # Beyond-reference serving dial: apply classifier-free guidance only while
+    # t/T is inside [lo, hi) — steps outside run the conditional forward alone
+    # (half the decoder batch, ~45% cheaper per step). (0, 1) = reference
+    # behavior (guidance every step); guidance-interval literature
+    # (Kynkäänniemi et al. 2024) motivates restricting CFG to the noisier part
+    # of the trajectory. Scored like every quality mode by
+    # scripts/bench_quality_modes.py's reseed-floor criterion.
+    guidance_interval: tuple = (0.0, 1.0)

@@ -151,7 +151,7 @@ def _scan_impl(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
             return nar_heads_folded(heads_folded, out_slice)
         return nar_heads(nar_params, nar_cfg, out_slice, lanes=range(1, n_lanes))
 
-    def model_out_slice(x, t_last):
+    def model_out_slice(x, t_last, with_cfg=True):
         """Decoder output on the generated-frame slice: (rows, l_gen, dim).
 
         The masked-known region (prompt frames under deep clone + the L0 lane,
@@ -159,35 +159,43 @@ def _scan_impl(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
         q_pred(x_known) — so the output heads, CFG combine, temperature softmax
         and posterior all run on the (bs, l_gen, n_lanes-1, K) slice only. The
         kept entries are bit-identical to the full-grid computation (every op is
-        positionwise).
+        positionwise). ``with_cfg=False`` (guidance-interval steps outside the
+        CFG window) runs the conditional rows alone — half the decoder batch.
         """
         memory = jax.lax.dynamic_index_in_dim(memory_all, t_last, 0,
                                               keepdims=False)
-        t_dec = jnp.broadcast_to(
-            jax.lax.dynamic_index_in_dim(t_dec_all, t_last, 0)[0][None], (rows, dim))
+        t_dec1 = jax.lax.dynamic_index_in_dim(t_dec_all, t_last, 0)[0][None]
         # offset > 0 (deep clone): the stack drops the prompt rows internally
         # (final layer runs on the query slice — ulp-level identical rows).
-        if cfg_batched:
+        if cfg_batched and with_cfg:
+            t_dec = jnp.broadcast_to(t_dec1, (rows, dim))
             return nar_decoder_apply(nar_params, nar_cfg,
                                      jnp.concatenate([x, x], 0), xpm2, t_dec,
                                      memory, c_padding, q_tail_start=offset)
+        if cfg_batched:  # cond-only step: slice the cond halves out of the
+            memory = memory[:bs]             # CFG-batched precomputes
+            cp = c_padding[:bs]
+        else:
+            cp = c_padding
+        t_dec = jnp.broadcast_to(t_dec1, (bs, dim))
         return nar_decoder_apply(nar_params, nar_cfg, x, x_padding_mask, t_dec,
-                                 memory, c_padding, q_tail_start=offset)
+                                 memory, cp, q_tail_start=offset)
 
-    def model_x0_gen(x, t_last):
+    def model_x0_gen(x, t_last, with_cfg=True):
         """CFG-combined x̂0 logits (f32) on the generated-frame slice, lanes 1+.
 
         The combine runs in f32 (upcast before the weighted sum): with w=3 the
         bf16-serving logits would otherwise lose ~2 bits to intermediate bf16
         rounding. fp32-parity numerics are unchanged (already f32).
         """
-        logits = _gen_heads(model_out_slice(x, t_last)).astype(jnp.float32)
-        if cfg_batched:
+        logits = _gen_heads(model_out_slice(x, t_last, with_cfg)).astype(
+            jnp.float32)
+        if cfg_batched and with_cfg:
             cond, uncond = logits[:bs], logits[bs:]
             return w * cond + (1.0 - w) * uncond
         return logits
 
-    def fused_unknown(x, i, t_last):
+    def fused_unknown(x, i, t_last, with_cfg=True):
         """unknown-region sampling through the fused tail kernel (serving path).
 
         Consumes the SAME u0 stream as the dense path (shared-randomness
@@ -196,13 +204,14 @@ def _scan_impl(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
         runs INSIDE the tail program (heads_diffusion_tail) so the
         (frames x classes) logits never leave VMEM; =0 falls back to the
         two-program chain (XLA heads -> diffusion_tail), bit-identical.
+        ``with_cfg=False`` feeds the kernels bs rows; they force w=1 there.
         """
         from ..ops.pallas.diffusion_tail import (diffusion_tail,
                                                  heads_diffusion_tail,
                                                  tail_scalars)
         l_gen_p = -(-l_gen // _TAIL_BL) * _TAIL_BL
         pad_f = l_gen_p - l_gen
-        outs = model_out_slice(x, t_last)
+        outs = model_out_slice(x, t_last, with_cfg)
         if pad_f:
             outs = jnp.pad(outs, ((0, 0), (0, pad_f), (0, 0)))
         u0 = jax.random.uniform(jax.random.fold_in(key, 3 * i),
@@ -231,9 +240,21 @@ def _scan_impl(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
                 bl=_TAIL_BL)
         return idx[:, :l_gen]
 
+    # Guidance interval (dsh.guidance_interval = (lo, hi) fractions of T):
+    # reverse steps with t outside [lo*T, hi*T) run the conditional forward
+    # alone (with_cfg=False). Default (0, 1) leaves the graph untouched — the
+    # lax.cond below is only emitted when the interval is restrictive.
+    gi = tuple(getattr(dsh, "guidance_interval", (0.0, 1.0)))
+    interval_active = cfg_batched and gi != (0.0, 1.0)
+    if interval_active:
+        lo_t, hi_t = int(round(gi[0] * T)), int(round(gi[1] * T))
+        use_cfg_steps = (t_lasts >= lo_t) & (t_lasts < hi_t)
+    else:
+        use_cfg_steps = jnp.ones(t_lasts.shape, bool)
+
     def step(carry, inp):
         x = carry
-        i, t_last, is_rev, c = inp
+        i, t_last, is_rev, c, use_cfg_i = inp
         t = jnp.full((bs,), t_last, jnp.int32)
 
         def reverse(x):
@@ -258,22 +279,35 @@ def _scan_impl(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
                     known_s = diff.log_sample_categorical(
                         diff.q_pred_indexed(x_known, t), u1)
                 known = jnp.where(t_last == 0, x_known, known_s)
-                if use_fused_tail:
-                    unknown = fused_unknown(x, i, t_last)
+
+                def _unknown_r(with_cfg):
+                    def f(x):
+                        if use_fused_tail:
+                            return fused_unknown(x, i, t_last, with_cfg)
+                        x0_logits = model_x0_gen(x, t_last, with_cfg).astype(
+                            jnp.float32)
+                        log_x0 = jax.nn.log_softmax(x0_logits / dsh.x_0_temp,
+                                                    axis=-1)
+                        if use_key:
+                            u0 = jax.random.uniform(
+                                jax.random.fold_in(key, 3 * i), log_x0.shape)
+                        else:
+                            u0 = uniforms[i, 0][:, :, 1:]
+                        log_pred = diff.q_posterior_indexed(
+                            log_x0, x[:, :, 1:], t, normalize=not use_key)
+                        unknown = diff.log_sample_categorical(log_pred, u0)
+                        if dsh.last_greedy and honor_last_greedy:
+                            greedy = jnp.argmax(log_pred, axis=-1).astype(
+                                jnp.int32)
+                            unknown = jnp.where(t_last == 0, greedy, unknown)
+                        return unknown
+                    return f
+
+                if interval_active:
+                    unknown = jax.lax.cond(use_cfg_i, _unknown_r(True),
+                                           _unknown_r(False), x)
                 else:
-                    x0_logits = model_x0_gen(x, t_last).astype(jnp.float32)
-                    log_x0 = jax.nn.log_softmax(x0_logits / dsh.x_0_temp, axis=-1)
-                    if use_key:
-                        u0 = jax.random.uniform(jax.random.fold_in(key, 3 * i),
-                                                log_x0.shape)
-                    else:
-                        u0 = uniforms[i, 0][:, :, 1:]
-                    log_pred = diff.q_posterior_indexed(log_x0, x[:, :, 1:],
-                                                        t, normalize=not use_key)
-                    unknown = diff.log_sample_categorical(log_pred, u0)
-                    if dsh.last_greedy and honor_last_greedy:
-                        greedy = jnp.argmax(log_pred, axis=-1).astype(jnp.int32)
-                        unknown = jnp.where(t_last == 0, greedy, unknown)
+                    unknown = _unknown_r(True)(x)
                 kmask = jnp.arange(L)[None, :] < offsets[:, None]      # (bs, L)
                 rest = jnp.where(kmask[:, :, None], known[..., 1:], unknown)
                 return jnp.concatenate([known[..., :1], rest], axis=2)
@@ -287,32 +321,44 @@ def _scan_impl(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
             else:
                 u1p = uniforms[i, 1][:, :offset]
                 u1l = uniforms[i, 1][:, offset:, :1]
-            if use_fused_tail:
-                unknown = fused_unknown(x, i, t_last)
+            def _unknown_s(with_cfg):
+                def f(x):
+                    if use_fused_tail:
+                        return fused_unknown(x, i, t_last, with_cfg)
+                    x0_logits = model_x0_gen(x, t_last, with_cfg).astype(
+                        jnp.float32)
+                    log_x0 = jax.nn.log_softmax(x0_logits / dsh.x_0_temp,
+                                                axis=-1)
+                    if use_key:
+                        u0 = jax.random.uniform(jax.random.fold_in(key, 3 * i),
+                                                log_x0.shape)
+                    else:
+                        u0 = uniforms[i, 0][:, offset:, 1:]
+                    # indexed q_posterior: x is one-hot by construction, so the
+                    # x_t leg collapses to a two-scalar select (bit-identical,
+                    # ~6 fewer passes over the grid tensor per step); the key
+                    # path also skips the logsumexp normalization
+                    # (Gumbel-max/argmax are shift-invariant)
+                    log_pred = diff.q_posterior_indexed(
+                        log_x0, x[:, offset:, 1:], t, normalize=not use_key)
+                    unknown = diff.log_sample_categorical(log_pred, u0)
+                    # NOTE: the reference driver never forwards dsh.last_greedy
+                    # to reverse_diffusion (diffuser.py:461 omits the kwarg),
+                    # so despite inference.py passing last_greedy=True it
+                    # always samples at t=0. We replicate that;
+                    # honor_last_greedy=True enables the documented (but dead)
+                    # argmax-at-t0 behavior.
+                    if dsh.last_greedy and honor_last_greedy:
+                        greedy = jnp.argmax(log_pred, axis=-1).astype(jnp.int32)
+                        unknown = jnp.where(t_last == 0, greedy, unknown)
+                    return unknown
+                return f
+
+            if interval_active:
+                unknown = jax.lax.cond(use_cfg_i, _unknown_s(True),
+                                       _unknown_s(False), x)
             else:
-                x0_logits = model_x0_gen(x, t_last).astype(jnp.float32)
-                log_x0 = jax.nn.log_softmax(x0_logits / dsh.x_0_temp, axis=-1)
-                if use_key:
-                    u0 = jax.random.uniform(jax.random.fold_in(key, 3 * i),
-                                            log_x0.shape)
-                else:
-                    u0 = uniforms[i, 0][:, offset:, 1:]
-                # indexed q_posterior: x is one-hot by construction, so the x_t
-                # leg collapses to a two-scalar select (bit-identical, ~6 fewer
-                # passes over the grid tensor per step); the key path also
-                # skips the logsumexp normalization (Gumbel-max/argmax are
-                # shift-invariant)
-                log_pred = diff.q_posterior_indexed(log_x0, x[:, offset:, 1:],
-                                                    t, normalize=not use_key)
-                unknown = diff.log_sample_categorical(log_pred, u0)
-                # NOTE: the reference driver never forwards dsh.last_greedy to
-                # reverse_diffusion (diffuser.py:461 omits the kwarg), so
-                # despite inference.py passing last_greedy=True it always
-                # samples at t=0. We replicate that; honor_last_greedy=True
-                # enables the documented (but dead) argmax-at-t0 behavior.
-                if dsh.last_greedy and honor_last_greedy:
-                    greedy = jnp.argmax(log_pred, axis=-1).astype(jnp.int32)
-                    unknown = jnp.where(t_last == 0, greedy, unknown)
+                unknown = _unknown_s(True)(x)
             # masked-known region: RePaint re-noises x_known (prompt block and
             # the L0 lane); at t=0 it is taken verbatim.
             if use_key:
@@ -355,7 +401,7 @@ def _scan_impl(nar_params, nar_cfg: ResidualTransformerConfig, dsh: DSH,
         return x, None
 
     n_steps = t_lasts.shape[0]
-    xs = (jnp.arange(n_steps), t_lasts, is_reverse, cs)
+    xs = (jnp.arange(n_steps), t_lasts, is_reverse, cs, use_cfg_steps)
     x_final, _ = jax.lax.scan(step, x0_seed, xs)
     return x_final
 

@@ -57,7 +57,8 @@ class Mars5TTS:
                  nar_cfg: Optional[ResidualTransformerConfig] = None,
                  encodec_cfg: Optional[EncodecConfig] = None,
                  vocos_cfg: Optional[VocosConfig] = None,
-                 ar_backend: str = "bf16", nar_backend: str = "bf16"):
+                 ar_backend: str = "bf16", nar_backend: str = "bf16",
+                 guidance_interval: tuple = (0.0, 1.0)):
         # tokenizers are embedded in the checkpoint vocab metadata
         self.texttok, self.speechtok = load_tokenizers(ar_ckpt)
 
@@ -92,6 +93,12 @@ class Mars5TTS:
                          else VocosConfig())
         self.encodec_cfg = encodec_cfg
         self.vocos_cfg = vocos_cfg
+
+        # Beyond-reference serving dial (README "Known deviations"): apply CFG
+        # only while t/T is in [lo, hi) — cond-only steps run half the decoder
+        # batch. (0, 1) = reference behavior; scored like the reduced-T modes
+        # by scripts/bench_quality_modes.py's reseed-floor criterion.
+        self.guidance_interval = tuple(guidance_interval)
 
         self.default_T = 200
         self.sr = 24000
@@ -316,7 +323,8 @@ class Mars5TTS:
                       guidance_w=cfg.nar_guidance_w, deep_clone=cfg.deep_clone,
                       jump_len=1, jump_n_sample=1,
                       q0_override_steps=cfg.q0_override_steps,
-                      enable_kevin_scaled_inference=True, progress=False)
+                      enable_kevin_scaled_inference=True, progress=False,
+                      guidance_interval=self.guidance_interval)
             final_output = perform_simple_inference(
                 self.codecnar, self.nar_cfg,
                 (c_text, c_codes, c_texts_lengths, c_codes_lengths, _x, x_padding_mask),
@@ -488,7 +496,8 @@ class Mars5TTS:
                       guidance_w=cfg.nar_guidance_w, deep_clone=cfg.deep_clone,
                       jump_len=1, jump_n_sample=1,
                       q0_override_steps=cfg.q0_override_steps,
-                      enable_kevin_scaled_inference=True, progress=False)
+                      enable_kevin_scaled_inference=True, progress=False,
+                      guidance_interval=self.guidance_interval)
             grid = perform_simple_inference(
                 self.codecnar, self.nar_cfg,
                 (c_text, c_codes, ctl, ccl, _x, xpm),

@@ -86,11 +86,11 @@ def main():
                                           uniforms=ar_uniforms, interpret=False)
         return time.perf_counter() - t0, np.asarray(tokens)
 
-    def nar_stage(nar_p, l0, T, env=None, seed=1):
+    def nar_stage(nar_p, l0, T, env=None, seed=1, gi=(0.0, 1.0)):
         diff = MultinomialDiffusion(1025, timesteps=T)
         dsh = DSH(last_greedy=True, x_0_temp=0.7, guidance_w=3.0, deep_clone=True,
                   q0_override_steps=min(20, T // 10),
-                  enable_kevin_scaled_inference=True)
+                  enable_kevin_scaled_inference=True, guidance_interval=gi)
         _x = np.repeat(l0[None, :, None], 8, axis=2)
         old = {k: os.environ.get(k) for k in (env or {})}
         os.environ.update(env or {})
@@ -152,13 +152,19 @@ def main():
     gsize = int(os.environ.get("QMODES_GSIZE", "128"))
     nar_g = quantize_nar(nar, w_gsize=gsize, w_group_keys=nar_w_group_keys())
     genv = {"MARS5_NARF_GSIZE": str(gsize)}
-    for name, nar_p, T, env in [
-            ("int8_T200", nar_int8, 200, None),
-            (f"int8_g{gsize}_T200", nar_g, 200, genv),
-            ("int8_T100", nar_int8, 100, None),
-            ("int8_T50", nar_int8, 50, None)]:
-        nar_stage(nar_p, l0, T, env)         # warm
-        t_nar, grid = nar_stage(nar_p, l0, T, env)
+    # guidance-interval rows (DSH.guidance_interval): CFG only while t/T is
+    # inside the interval — cond-only steps run half the decoder batch.
+    # Both 50% orientations are scored; the timing win is identical, the
+    # reseed-floor verdict decides which (if either) to promote.
+    for name, nar_p, T, env, gi in [
+            ("int8_T200", nar_int8, 200, None, (0.0, 1.0)),
+            (f"int8_g{gsize}_T200", nar_g, 200, genv, (0.0, 1.0)),
+            ("int8_T100", nar_int8, 100, None, (0.0, 1.0)),
+            ("int8_T50", nar_int8, 50, None, (0.0, 1.0)),
+            ("int8_cfghi50_T200", nar_int8, 200, None, (0.5, 1.0)),
+            ("int8_cfglo50_T200", nar_int8, 200, None, (0.0, 0.5))]:
+        nar_stage(nar_p, l0, T, env, gi=gi)  # warm
+        t_nar, grid = nar_stage(nar_p, l0, T, env, gi=gi)
         agree = float((grid[..., 1:] == ref_grid[..., 1:]).mean())
         nar_out[name] = (t_nar, round(agree, 4),
                          round(vocos_proxy(grid, ref_grid), 4))

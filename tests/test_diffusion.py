@@ -286,3 +286,86 @@ def test_scaled_two_uniform_sampler_matches_dense():
         x_idx, t, c, jl, u_hi))
     assert (lo == np.asarray(x_idx)).all()      # just below p_hot -> keep
     assert (hi != np.asarray(x_idx)).all()      # just above p_hot -> resample
+
+
+# ------------------------------------------------------------ guidance interval
+
+def _tiny_interval_run(T=6, deep_clone=True, seed=7, **dsh_kwargs):
+    """One tiny-NAR engine run; kwargs override DSH fields."""
+    import jax
+    from mars5_tts_tpu.config import DSH
+    from mars5_tts_tpu.diffusion import (MultinomialDiffusion,
+                                         perform_simple_inference)
+    from mars5_tts_tpu.models.nar import ResidualTransformerConfig, init_nar
+
+    cfg = ResidualTransformerConfig.tiny()
+    p = init_nar(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    kc = cfg.n_quant - 1
+    batch = (rng.integers(0, 32, (1, 5)), rng.integers(0, kc, (1, 6, 8)),
+             np.asarray([5]), np.asarray([6]),
+             rng.integers(0, kc, (1, 8, 8)), np.zeros((1, 8), bool))
+    diff = MultinomialDiffusion(cfg.n_quant, timesteps=T)
+    kwargs = dict(deep_clone=deep_clone, jump_len=1, jump_n_sample=1,
+                  x_0_temp=0.7, q0_override_steps=1, guidance_w=3.0,
+                  enable_kevin_scaled_inference=True)
+    kwargs.update(dsh_kwargs)
+    dsh = DSH(**kwargs)
+    return np.asarray(perform_simple_inference(
+        p, cfg, batch, diff, T, dsh, key=jax.random.key(seed, impl="rbg")))
+
+
+def test_guidance_interval_default_noop():
+    """gi=(0,1) is the reference behavior: bit-identical to the unset field."""
+    base = _tiny_interval_run()
+    explicit = _tiny_interval_run(guidance_interval=(0.0, 1.0))
+    np.testing.assert_array_equal(base, explicit)
+
+
+def test_guidance_interval_empty_matches_unguided():
+    """An empty interval runs every step cond-only == guidance_w=1 exactly
+    (the cond rows of the CFG-batched precomputes are the w=1 computation)."""
+    no_cfg = _tiny_interval_run(guidance_w=1.0)
+    empty = _tiny_interval_run(guidance_w=3.0, guidance_interval=(1.0, 1.0))
+    np.testing.assert_array_equal(no_cfg, empty)
+
+
+def test_guidance_interval_partial():
+    """A restrictive interval changes only the guided/unguided mix: it is
+    deterministic, in-range, and distinct from both endpoints."""
+    # w=50 separates the guided/unguided distributions enough that a branch
+    # flip must change tokens — at w=3 on random (near-uniform) tiny-NAR
+    # logits the two samples frequently coincide, making ≠ asserts flaky
+    full = _tiny_interval_run(guidance_w=50.0)
+    none = _tiny_interval_run(guidance_w=1.0)
+    half = _tiny_interval_run(guidance_w=50.0, guidance_interval=(0.5, 1.0))
+    half2 = _tiny_interval_run(guidance_w=50.0, guidance_interval=(0.5, 1.0))
+    np.testing.assert_array_equal(half, half2)
+    assert half.min() >= 0 and half.max() < 1025
+    assert not np.array_equal(half, full)
+    assert not np.array_equal(half, none)
+
+
+def test_guidance_interval_ragged_smoke():
+    """Mixed-voice (ragged deep-clone) batches accept the interval too."""
+    import jax
+    from mars5_tts_tpu.config import DSH
+    from mars5_tts_tpu.diffusion import (MultinomialDiffusion,
+                                         perform_simple_inference)
+    from mars5_tts_tpu.models.nar import ResidualTransformerConfig, init_nar
+
+    cfg = ResidualTransformerConfig.tiny()
+    p = init_nar(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    kc = cfg.n_quant - 1
+    batch = (rng.integers(0, 32, (2, 5)), rng.integers(0, kc, (2, 6, 8)),
+             np.asarray([5, 4]), np.asarray([6, 4]),
+             rng.integers(0, kc, (2, 8, 8)), np.zeros((2, 8), bool))
+    diff = MultinomialDiffusion(cfg.n_quant, timesteps=6)
+    dsh = DSH(deep_clone=True, jump_len=1, jump_n_sample=1, x_0_temp=0.7,
+              guidance_w=3.0, guidance_interval=(0.5, 1.0),
+              enable_kevin_scaled_inference=True)
+    grid = np.asarray(perform_simple_inference(
+        p, cfg, batch, diff, 6, dsh, key=jax.random.key(1, impl="rbg")))
+    assert grid.shape == (2, 8, 8)
+    assert grid.min() >= 0 and grid.max() < 1025

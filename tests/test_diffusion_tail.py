@@ -243,3 +243,58 @@ def test_engine_fused_tail_matches_dense(monkeypatch):
                                                 key=key))
     _clear()  # don't leak the interpret trace to others
     np.testing.assert_array_equal(dense, fused)
+
+
+@pytest.mark.slow
+def test_engine_fused_tail_guidance_interval(monkeypatch):
+    """Fused tail == dense path under a restrictive guidance interval: the
+    cond-only steps feed the kernels bs rows (w forced to 1 in-kernel)."""
+    from mars5_tts_tpu.config import DSH
+    from mars5_tts_tpu.diffusion import perform_simple_inference
+    import mars5_tts_tpu.ops.pallas as pk
+    import mars5_tts_tpu.ops.pallas.diffusion_tail as dt
+
+    cfg, p = _nar_with_affines()
+    pq = quantize_nar(p)
+    rng = np.random.default_rng(4)
+    batch = (rng.integers(0, 32, (1, 5)), rng.integers(0, 1024, (1, 6, 8)),
+             np.asarray([5]), np.asarray([6]),
+             rng.integers(0, 1024, (1, 8, 8)), np.zeros((1, 8), bool))
+    diff = MultinomialDiffusion(K, timesteps=8)
+    dsh = DSH(deep_clone=True, jump_len=1, jump_n_sample=1, guidance_w=3.0,
+              x_0_temp=0.7, q0_override_steps=2, guidance_interval=(0.5, 1.0),
+              enable_kevin_scaled_inference=True)
+    key = jax.random.key(6, impl="rbg")
+
+    from mars5_tts_tpu.diffusion.engine import (_diffusion_scan,
+                                                _diffusion_scan_serving)
+
+    def _clear():
+        _diffusion_scan.clear_cache()
+        _diffusion_scan_serving.clear_cache()
+
+    monkeypatch.setenv("MARS5_FUSED_TAIL", "0")
+    _clear()
+    dense = np.asarray(perform_simple_inference(pq, cfg, batch, diff, 8, dsh,
+                                                key=key))
+
+    monkeypatch.setenv("MARS5_FUSED_TAIL", "1")
+    monkeypatch.setattr(pk, "enabled", lambda: True)
+    orig = dt.diffusion_tail
+    orig_ht = dt.heads_diffusion_tail
+
+    def interp_tail(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    def interp_heads_tail(*args, **kw):
+        kw["interpret"] = True
+        return orig_ht(*args, **kw)
+
+    monkeypatch.setattr(dt, "diffusion_tail", interp_tail)
+    monkeypatch.setattr(dt, "heads_diffusion_tail", interp_heads_tail)
+    _clear()
+    fused = np.asarray(perform_simple_inference(pq, cfg, batch, diff, 8, dsh,
+                                                key=key))
+    _clear()
+    np.testing.assert_array_equal(dense, fused)

@@ -266,3 +266,27 @@ def test_deploy_predictor_end_to_end(tiny_mars5, tmp_path):
     out = p.predict("hello", ref_path, "hi", out_path=str(tmp_path / "out.wav"))
     wav, sr = read_wav(out)
     assert sr == 24000 and np.isfinite(wav).all() and wav.size > 0
+
+
+def test_tts_guidance_interval(tiny_mars5):
+    """The guidance-interval serving dial synthesizes end-to-end and the
+    default interval reproduces the reference-behavior output exactly."""
+    from mars5_tts_tpu import InferenceConfig
+
+    mars5, _ = tiny_mars5
+    cfg = InferenceConfig(deep_clone=False, generate_max_len_override=120,
+                          timesteps=6, trim_db=200)
+    _, base = mars5.tts("interval check", _ref_audio(), ref_transcript="",
+                        cfg=cfg, seed=11)
+    assert mars5.guidance_interval == (0.0, 1.0)
+    try:
+        mars5.guidance_interval = (0.5, 1.0)
+        _, fast = mars5.tts("interval check", _ref_audio(), ref_transcript="",
+                            cfg=cfg, seed=11)
+        mars5.guidance_interval = (0.0, 1.0)
+        _, again = mars5.tts("interval check", _ref_audio(), ref_transcript="",
+                             cfg=cfg, seed=11)
+    finally:
+        mars5.guidance_interval = (0.0, 1.0)
+    assert np.array_equal(base, again)       # default = reference behavior
+    assert len(fast) > 0 and np.isfinite(fast).all()
