@@ -457,7 +457,8 @@ def _diffusion_scan_serving(nar_params, nar_cfg: ResidualTransformerConfig,
 def perform_simple_inference(nar_params, nar_cfg: ResidualTransformerConfig,
                              batch, diff: MultinomialDiffusion, T: int,
                              dsh: DSH = DSH(), retain_quant0: bool = True,
-                             key=None, uniforms=None, x_init=None):
+                             key=None, uniforms=None, x_init=None,
+                             gen_bucket: int = 0, text_bucket: int = 0):
     """Run the full NAR inpainting trajectory (host wrapper).
 
     Args:
@@ -469,6 +470,17 @@ def perform_simple_inference(nar_params, nar_cfg: ResidualTransformerConfig,
         uniforms: optional (n_steps, 2, 1, L_total, 8, K) parity-harness stream.
         x_init: optional (1, Lx, 8) initial noise grid (parity harness); otherwise
             drawn uniform over classes from ``key``.
+        gen_bucket / text_bucket: serving compile-count control — round the
+            generated-frame / text axes up to multiples of these (0 = exact,
+            today's default). Padded frames/tokens are attention-masked and
+            cropped, so real-frame outputs are unchanged under an injected
+            uniform stream (tests/test_diffusion.py asserts identity); in the
+            key-driven path the draw SHAPES change, so a bucketed run is a
+            different (equally valid) trajectory whenever padding is non-zero.
+            The payoff: the 200-step scan compiles once per bucket instead of
+            once per utterance geometry — on the axon tunnel a fresh scan
+            compile is minutes, so production serving sets these (see
+            docs/serving.md).
 
     Returns:
         (1, Lx, 8) int32 token grid (deep-clone prompt frames cropped).
@@ -479,6 +491,28 @@ def perform_simple_inference(nar_params, nar_cfg: ResidualTransformerConfig,
     # The reference asserts bs=1; we support batched rows, including deep-clone
     # batches whose rows use DIFFERENT reference voices (per-row prompt
     # lengths -> the ragged branch below).
+
+    lx_real = x.shape[1]
+    if gen_bucket > 1 and lx_real % gen_bucket:
+        pad = gen_bucket - lx_real % gen_bucket
+        x = np.pad(x, ((0, 0), (0, pad), (0, 0)))
+        x_padding_mask = np.pad(x_padding_mask, ((0, 0), (0, pad)),
+                                constant_values=True)
+        if x_init is not None:
+            x_init = np.pad(np.asarray(x_init), ((0, 0), (0, pad), (0, 0)))
+        if uniforms is not None:
+            # gen frames sit at the tail of the L_total axis in every row
+            # layout (static [prompt; gen] and ragged [prompt_r; gen; pad]
+            # alike — positions are only appended, never shifted), so the
+            # 0.5 filler is consumed exclusively by masked pad frames.
+            uniforms = np.pad(np.asarray(uniforms),
+                              ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0), (0, 0)),
+                              constant_values=0.5)
+    if text_bucket > 1 and c_text.shape[1] % text_bucket:
+        # padded token ids are masked out of the encoder/cross-attention by
+        # c_texts_length (nar_enc_inputs builds the key-padding mask from it)
+        c_text = np.pad(c_text,
+                        ((0, 0), (0, text_bucket - c_text.shape[1] % text_bucket)))
 
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -505,7 +539,7 @@ def perform_simple_inference(nar_params, nar_cfg: ResidualTransformerConfig,
             nar_params, nar_cfg, dsh, diff, c_text, c_codes, c_texts_length,
             c_codes_length, x.astype(np.int32), x_padding_mask,
             t_lasts, is_reverse, cs, key, offset=offset,
-            retain_quant0=retain_quant0)
+            retain_quant0=retain_quant0)[:, :lx_real]
 
     key_init, key_steps = jax.random.split(key)
 
@@ -584,5 +618,5 @@ def perform_simple_inference(nar_params, nar_cfg: ResidualTransformerConfig,
         idx = offsets[:, None] + jnp.arange(lx)[None, :]
         return jnp.take_along_axis(
             x_final, jnp.broadcast_to(idx[:, :, None], (bs, lx) + (x.shape[2],)),
-            axis=1)
-    return x_final[:, offset:]
+            axis=1)[:, :lx_real]
+    return x_final[:, offset:offset + lx_real]

@@ -58,7 +58,9 @@ class Mars5TTS:
                  encodec_cfg: Optional[EncodecConfig] = None,
                  vocos_cfg: Optional[VocosConfig] = None,
                  ar_backend: str = "bf16", nar_backend: str = "bf16",
-                 guidance_interval: tuple = (0.0, 1.0)):
+                 guidance_interval: tuple = (0.0, 1.0),
+                 nar_gen_bucket: Optional[int] = None,
+                 nar_text_bucket: Optional[int] = None):
         # tokenizers are embedded in the checkpoint vocab metadata
         self.texttok, self.speechtok = load_tokenizers(ar_ckpt)
 
@@ -99,6 +101,21 @@ class Mars5TTS:
         # batch. (0, 1) = reference behavior; scored like the reduced-T modes
         # by scripts/bench_quality_modes.py's reseed-floor criterion.
         self.guidance_interval = tuple(guidance_interval)
+
+        # NAR geometry buckets (serving compile-count control): round the
+        # generated-frame / text axes up so the 200-step diffusion scan
+        # compiles once per bucket instead of once per utterance geometry
+        # (a fresh scan compile is minutes over the axon tunnel). 0 = exact
+        # shapes (reference-parity default: seed-driven draws depend on the
+        # padded shape, so bucketing is a different — equally valid —
+        # trajectory whenever padding is non-zero; under injected uniforms
+        # the real-frame grid is identical, tests/test_diffusion.py).
+        self.nar_gen_bucket = int(
+            os.environ.get("MARS5_NAR_GEN_BUCKET", "0")
+            if nar_gen_bucket is None else nar_gen_bucket)
+        self.nar_text_bucket = int(
+            os.environ.get("MARS5_NAR_TEXT_BUCKET", "0")
+            if nar_text_bucket is None else nar_text_bucket)
 
         self.default_T = 200
         self.sr = 24000
@@ -330,7 +347,9 @@ class Mars5TTS:
                 (c_text, c_codes, c_texts_lengths, c_codes_lengths, _x, x_padding_mask),
                 diff, diff.num_timesteps, dsh, retain_quant0=True,
                 # rbg: fast partitionable PRNG for the ~20M Gumbel draws per step
-                key=jax.random.key(seed + 1, impl="rbg"))
+                key=jax.random.key(seed + 1, impl="rbg"),
+                gen_bucket=self.nar_gen_bucket,
+                text_bucket=self.nar_text_bucket)
 
             skip_front = raw_prompt_acoustic_len if cfg.deep_clone else 0
             # device hand-off: the grid goes straight into the vocoder without
@@ -502,7 +521,9 @@ class Mars5TTS:
                 self.codecnar, self.nar_cfg,
                 (c_text, c_codes, ctl, ccl, _x, xpm),
                 diff, diff.num_timesteps, dsh, retain_quant0=True,
-                key=jax.random.key(seed + 1, impl="rbg"))
+                key=jax.random.key(seed + 1, impl="rbg"),
+                gen_bucket=self.nar_gen_bucket,
+                text_bucket=self.nar_text_bucket)
             # per-row prompt crop (deep clone repeats each row's own prompt
             # frames at the front), left-aligned for batched vocoding
             grid = np.asarray(grid)

@@ -110,12 +110,18 @@ def main():
     base_text = rng.integers(0, n_text, (1, text_len))
 
     # --- AR modes: latency + token agreement vs bf16 (shared uniforms) ------
+    # QMODES_AR / QMODES_NAR_ROWS filter the mode grid for incremental
+    # on-chip measurement (each NAR row is a full diffusion-scan compile on a
+    # cold cache); the recorded full-grid run lives in QMODES_r04.json. The
+    # first listed AR mode is the token-agreement reference (bf16 canonical).
+    ar_modes = [m for m in os.environ.get("QMODES_AR", "bf16,fused8,fused4")
+                .split(",") if m]
     ar_out = {}
-    for mode in ("bf16", "fused8", "fused4"):
+    for mode in ar_modes:
         ar_stage(mode)                       # warm/compile
         t_ar, tokens = ar_stage(mode)
         ar_out[mode] = (t_ar, tokens)
-    ref_tokens = ar_out["bf16"][1][len(prompt):]
+    ref_tokens = ar_out[ar_modes[0]][1][len(prompt):]
 
     # --- NAR modes: latency + grid agreement vs bf16/T=200 (shared key) ----
     from mars5_tts_tpu.models.vocos import codes_to_features
@@ -131,7 +137,7 @@ def main():
         den = np.linalg.norm(fb, axis=1).mean()
         return float(num.mean() / max(den, 1e-9))
 
-    l0 = (ar_out["bf16"][1][len(prompt):] - n_text).clip(0, 1023)
+    l0 = (ar_out[ar_modes[0]][1][len(prompt):] - n_text).clip(0, 1023)
     nar_stage(nar, l0, 200)                  # warm
     t_ref, ref_grid = nar_stage(nar, l0, 200)
     nar_out = {"bf16_T200": (t_ref, 1.0, 0.0)}
@@ -156,6 +162,7 @@ def main():
     # inside the interval — cond-only steps run half the decoder batch.
     # Both 50% orientations are scored; the timing win is identical, the
     # reseed-floor verdict decides which (if either) to promote.
+    row_filter = [r for r in os.environ.get("QMODES_NAR_ROWS", "").split(",") if r]
     for name, nar_p, T, env, gi in [
             ("int8_T200", nar_int8, 200, None, (0.0, 1.0)),
             (f"int8_g{gsize}_T200", nar_g, 200, genv, (0.0, 1.0)),
@@ -163,6 +170,8 @@ def main():
             ("int8_T50", nar_int8, 50, None, (0.0, 1.0)),
             ("int8_cfghi50_T200", nar_int8, 200, None, (0.5, 1.0)),
             ("int8_cfglo50_T200", nar_int8, 200, None, (0.0, 0.5))]:
+        if row_filter and name not in row_filter:
+            continue
         nar_stage(nar_p, l0, T, env, gi=gi)  # warm
         t_nar, grid = nar_stage(nar_p, l0, T, env, gi=gi)
         agree = float((grid[..., 1:] == ref_grid[..., 1:]).mean())

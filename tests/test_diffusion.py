@@ -369,3 +369,67 @@ def test_guidance_interval_ragged_smoke():
         p, cfg, batch, diff, 6, dsh, key=jax.random.key(1, impl="rbg")))
     assert grid.shape == (2, 8, 8)
     assert grid.min() >= 0 and grid.max() < 1025
+
+
+# ---------------------------------------------------------------------------
+# geometry buckets (serving compile-count control)
+
+def _bucket_run(gen_bucket=0, text_bucket=0, deep_clone=True, bs=1,
+                ccl_rows=None, T=6):
+    """Tiny engine run under an injected uniform stream, so bucketed and
+    exact runs consume identical randomness on the real frames."""
+    import jax
+    from mars5_tts_tpu.config import DSH
+    from mars5_tts_tpu.diffusion import (MultinomialDiffusion,
+                                         perform_simple_inference)
+    from mars5_tts_tpu.models.nar import ResidualTransformerConfig, init_nar
+
+    cfg = ResidualTransformerConfig.tiny()
+    p = init_nar(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    K = cfg.n_quant
+    kc = K - 1
+    lt, lc, lx = 7, 5, 6          # deliberately NOT multiples of the buckets
+    ccl = np.asarray(ccl_rows if ccl_rows is not None else [lc] * bs)
+    c_codes = rng.integers(0, kc, (bs, lc, 8))
+    batch = (rng.integers(0, 32, (bs, lt)), c_codes,
+             np.asarray([lt] * bs), ccl,
+             rng.integers(0, kc, (bs, lx, 8)), np.zeros((bs, lx), bool))
+    l_total = lx + (int(ccl.max()) if deep_clone else 0)
+    uniforms = rng.random((T, 2, bs, l_total, 8, K)).astype(np.float32)
+    x_init = rng.integers(0, K, (bs, lx, 8))
+    diff = MultinomialDiffusion(K, timesteps=T)
+    dsh = DSH(deep_clone=deep_clone, jump_len=1, jump_n_sample=1,
+              x_0_temp=0.7, q0_override_steps=1, guidance_w=3.0,
+              enable_kevin_scaled_inference=True, last_greedy=True)
+    return np.asarray(perform_simple_inference(
+        p, cfg, batch, diff, T, dsh, uniforms=uniforms, x_init=x_init,
+        gen_bucket=gen_bucket, text_bucket=text_bucket))
+
+
+@pytest.mark.parametrize("deep_clone", [True, False])
+def test_geometry_bucket_identity(deep_clone):
+    """Bucket padding (masked frames/tokens + crop) leaves the real-frame
+    grid bit-identical under a shared injected uniform stream — the property
+    that makes MARS5_NAR_GEN_BUCKET safe to turn on in serving."""
+    exact = _bucket_run(deep_clone=deep_clone)
+    bucketed = _bucket_run(gen_bucket=8, text_bucket=4, deep_clone=deep_clone)
+    assert bucketed.shape == exact.shape
+    np.testing.assert_array_equal(bucketed, exact)
+
+
+def test_geometry_bucket_identity_ragged():
+    """Mixed-voice (ragged deep-clone) rows keep per-row identity too: gen
+    pads are appended inside each row's gen segment, positions never shift."""
+    exact = _bucket_run(bs=2, ccl_rows=[5, 3])
+    bucketed = _bucket_run(bs=2, ccl_rows=[5, 3], gen_bucket=8, text_bucket=4)
+    assert bucketed.shape == exact.shape
+    np.testing.assert_array_equal(bucketed, exact)
+
+
+def test_geometry_bucket_noop_when_dividing():
+    """A bucket that already divides the lengths changes nothing at all
+    (same graph, same draws) — guards the crop slicing."""
+    exact = _bucket_run()
+    noop = _bucket_run(gen_bucket=3, text_bucket=7)  # 6 % 3 == 0, 7 % 7 == 0
+    np.testing.assert_array_equal(noop, exact)

@@ -290,3 +290,28 @@ def test_tts_guidance_interval(tiny_mars5):
         mars5.guidance_interval = (0.0, 1.0)
     assert np.array_equal(base, again)       # default = reference behavior
     assert len(fast) > 0 and np.isfinite(fast).all()
+
+
+def test_tts_nar_geometry_buckets(tiny_mars5):
+    """NAR geometry buckets synthesize end-to-end, keep the output length
+    exact (pads cropped), and stay deterministic; a bucket of 1 is the exact
+    path bit-for-bit (no padding ever happens)."""
+    from mars5_tts_tpu import InferenceConfig
+
+    mars5, _ = tiny_mars5
+    cfg = InferenceConfig(deep_clone=True, generate_max_len_override=260,
+                          timesteps=6, trim_db=200)
+    args = ("bucket check", _ref_audio())
+    _, base = mars5.tts(*args, ref_transcript="a b", cfg=cfg, seed=5)
+    try:
+        mars5.nar_gen_bucket, mars5.nar_text_bucket = 1, 1
+        _, same = mars5.tts(*args, ref_transcript="a b", cfg=cfg, seed=5)
+        mars5.nar_gen_bucket, mars5.nar_text_bucket = 16, 8
+        _, b1 = mars5.tts(*args, ref_transcript="a b", cfg=cfg, seed=5)
+        _, b2 = mars5.tts(*args, ref_transcript="a b", cfg=cfg, seed=5)
+    finally:
+        mars5.nar_gen_bucket = mars5.nar_text_bucket = 0
+    np.testing.assert_array_equal(base, same)   # bucket=1 == exact path
+    np.testing.assert_array_equal(b1, b2)       # bucketed is deterministic
+    assert len(b1) == len(base)                 # pads cropped: same audio length
+    assert np.isfinite(b1).all()
