@@ -72,7 +72,10 @@ def main():
     # one shared uniform stream -> AR modes are comparable token-for-token
     ar_uniforms = np.random.default_rng(7).random((max_len, 1)).astype(np.float32)
 
-    fused = {w: prepare_fused(ar, ar_cfg, max_len=max_len, wbits=w) for w in (8, 4)}
+    ar_modes = [m for m in os.environ.get("QMODES_AR", "bf16,fused8,fused4")
+                .split(",") if m]
+    fused = {w: prepare_fused(ar, ar_cfg, max_len=max_len, wbits=w)
+             for w in (8, 4) if f"fused{w}" in ar_modes}
 
     def ar_stage(mode):
         t0 = time.perf_counter()
@@ -114,8 +117,6 @@ def main():
     # on-chip measurement (each NAR row is a full diffusion-scan compile on a
     # cold cache); the recorded full-grid run lives in QMODES_r04.json. The
     # first listed AR mode is the token-agreement reference (bf16 canonical).
-    ar_modes = [m for m in os.environ.get("QMODES_AR", "bf16,fused8,fused4")
-                .split(",") if m]
     ar_out = {}
     for mode in ar_modes:
         ar_stage(mode)                       # warm/compile
