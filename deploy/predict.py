@@ -23,9 +23,14 @@ class Predictor:
         encodec_path = encodec_path or os.environ.get("MARS5_ENCODEC_CKPT")
         vocos_path = vocos_path or os.environ.get("MARS5_VOCOS_CKPT")
         # serving defaults to the quantized fast path on TPU; MARS5_AR_BACKEND/
-        # MARS5_NAR_BACKEND=bf16 restores exact reference-parity numerics
+        # MARS5_NAR_BACKEND=bf16 restores exact reference-parity numerics.
+        # Geometry buckets default ON here (one diffusion-scan compile per
+        # 64-frame/32-token bucket instead of per utterance geometry — see
+        # docs/serving.md); MARS5_NAR_GEN_BUCKET=0 restores exact shapes.
         kwargs = {"ar_backend": os.environ.get("MARS5_AR_BACKEND", "fused"),
-                  "nar_backend": os.environ.get("MARS5_NAR_BACKEND", "int8")}
+                  "nar_backend": os.environ.get("MARS5_NAR_BACKEND", "int8"),
+                  "nar_gen_bucket": int(os.environ.get("MARS5_NAR_GEN_BUCKET", "64")),
+                  "nar_text_bucket": int(os.environ.get("MARS5_NAR_TEXT_BUCKET", "32"))}
         if encodec_path:
             kwargs["encodec_params"] = load_codec_params(encodec_path, "encodec")
         if vocos_path:
