@@ -28,6 +28,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shallow", action="store_true", help="shallow clone (no transcript)")
     p.add_argument("--longform", action="store_true",
                    help="chunk long text and crossfade-stitch the result")
+    p.add_argument("--stream", action="store_true",
+                   help="longform streaming: write PCM to --out incrementally as "
+                        "each chunk finalizes and report time-to-first-audio")
+    p.add_argument("--trim-db", type=float, default=None,
+                   help="silence-trim threshold in dB (InferenceConfig.trim_db)")
+    p.add_argument("--max-chars", type=int, default=300,
+                   help="longform/stream text chunk size in characters")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--top-k", type=int, default=200)
@@ -61,17 +68,53 @@ def main(argv=None) -> int:
     if args.vocos:
         kwargs["vocos_params"] = load_codec_params(args.vocos, "vocos")
     model = Mars5TTS.from_local(args.ar, args.nar, **kwargs)
+    cfg_kwargs = {}
+    if args.trim_db is not None:
+        cfg_kwargs["trim_db"] = args.trim_db
     cfg = InferenceConfig(deep_clone=not args.shallow, temperature=args.temperature,
                           top_k=args.top_k, top_p=args.top_p,
                           timesteps=args.timesteps,
-                          generate_max_len_override=args.max_len)
+                          generate_max_len_override=args.max_len, **cfg_kwargs)
     transcript = args.transcript if args.transcript is not None else ("" if args.shallow else None)
+
+    if args.stream:
+        import time
+        import wave
+
+        import numpy as np
+
+        from .serving import stream_longform
+
+        t0 = time.perf_counter()
+        total = 0
+        with wave.open(args.out, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(model.sr)
+            for chunk in stream_longform(model, args.text, ref_audio,
+                                         ref_transcript=transcript, cfg=cfg,
+                                         max_chars=args.max_chars,
+                                         seed=args.seed):
+                pcm = np.clip(np.asarray(chunk.pcm, np.float32), -1.0, 1.0)
+                w.writeframes((pcm * 32767.0).astype(np.int16).tobytes())
+                now = time.perf_counter() - t0
+                if chunk.index == 0:
+                    print(f"time-to-first-audio {now:.2f}s "
+                          f"({len(pcm) / model.sr:.2f}s playable)")
+                total += len(pcm)
+                print(f"chunk {chunk.index}: +{len(pcm) / model.sr:.2f}s "
+                      f"(stream {total / model.sr:.2f}s at t={now:.2f}s)"
+                      + (" [final]" if chunk.final else ""))
+        print(f"wrote {args.out} ({total / model.sr:.2f}s)")
+        if args.timings:
+            print(json.dumps(model.last_timing))
+        return 0
 
     if args.longform:
         from .serving import synthesize_longform
         result = synthesize_longform(model, args.text, ref_audio,
                                      ref_transcript=transcript, cfg=cfg,
-                                     seed=args.seed)
+                                     max_chars=args.max_chars, seed=args.seed)
         audio = result.audio
     else:
         _, audio = model.tts(args.text, ref_audio, ref_transcript=transcript,
