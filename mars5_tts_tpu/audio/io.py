@@ -43,11 +43,19 @@ def read_wav(path, target_sr: int | None = None):
     return data, sr
 
 
+def float_to_pcm16(audio) -> np.ndarray:
+    """Convert float audio in [-1, 1] to int16 PCM (the WAV/stream wire format).
+
+    Single source of truth for the clip->scale->cast conversion so the batch
+    writer (:func:`write_wav`) and the CLI stream writer stay byte-identical.
+    """
+    audio = np.asarray(audio, np.float32)
+    return (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
+
+
 def write_wav(path, audio, sr: int = 24000):
     """Write float audio in [-1, 1] as PCM16 WAV."""
-    audio = np.asarray(audio, np.float32)
-    pcm = np.clip(audio, -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype(np.int16)
+    pcm = float_to_pcm16(audio)
     with wave.open(str(path), "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)

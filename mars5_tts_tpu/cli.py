@@ -11,6 +11,13 @@ import json
 import sys
 
 
+def _positive_int(value: str) -> int:
+    n = int(value)
+    if n < 1:
+        raise argparse.ArgumentTypeError(f"must be a positive integer, got {value}")
+    return n
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mars5-tts-tpu",
                                 description="Zero-shot voice-cloning TTS (TPU-native)")
@@ -26,15 +33,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vocos", default=None,
                    help="Vocos vocoder params (.npz pytree or official torch ckpt)")
     p.add_argument("--shallow", action="store_true", help="shallow clone (no transcript)")
-    p.add_argument("--longform", action="store_true",
-                   help="chunk long text and crossfade-stitch the result")
-    p.add_argument("--stream", action="store_true",
-                   help="longform streaming: write PCM to --out incrementally as "
-                        "each chunk finalizes and report time-to-first-audio")
+    mode = p.add_mutually_exclusive_group()
+    mode.add_argument("--longform", action="store_true",
+                      help="chunk long text and crossfade-stitch the result")
+    mode.add_argument("--stream", action="store_true",
+                      help="longform streaming: write PCM to --out incrementally as "
+                           "each chunk finalizes and report time-to-first-audio")
     p.add_argument("--trim-db", type=float, default=None,
                    help="silence-trim threshold in dB (InferenceConfig.trim_db)")
-    p.add_argument("--max-chars", type=int, default=300,
+    p.add_argument("--max-chars", type=_positive_int, default=300,
                    help="longform/stream text chunk size in characters")
+    p.add_argument("--first-chunk-chars", type=_positive_int, default=None,
+                   help="stream only: smaller chunk budget for the FIRST chunk "
+                        "(time-to-first-audio ramp, e.g. 80)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--top-k", type=int, default=200)
@@ -81,12 +92,12 @@ def main(argv=None) -> int:
         import time
         import wave
 
-        import numpy as np
-
+        from .audio.io import float_to_pcm16
         from .serving import stream_longform
 
         t0 = time.perf_counter()
         total = 0
+        timings = []
         with wave.open(args.out, "wb") as w:
             w.setnchannels(1)
             w.setsampwidth(2)
@@ -94,20 +105,23 @@ def main(argv=None) -> int:
             for chunk in stream_longform(model, args.text, ref_audio,
                                          ref_transcript=transcript, cfg=cfg,
                                          max_chars=args.max_chars,
-                                         seed=args.seed):
-                pcm = np.clip(np.asarray(chunk.pcm, np.float32), -1.0, 1.0)
-                w.writeframes((pcm * 32767.0).astype(np.int16).tobytes())
+                                         seed=args.seed,
+                                         first_chunk_chars=args.first_chunk_chars):
+                pcm = float_to_pcm16(chunk.pcm)
+                w.writeframes(pcm.tobytes())
                 now = time.perf_counter() - t0
                 if chunk.index == 0:
                     print(f"time-to-first-audio {now:.2f}s "
                           f"({len(pcm) / model.sr:.2f}s playable)")
                 total += len(pcm)
+                timings.append(dict(chunk.timing, ttfa_s=now) if chunk.index == 0
+                               else chunk.timing)
                 print(f"chunk {chunk.index}: +{len(pcm) / model.sr:.2f}s "
                       f"(stream {total / model.sr:.2f}s at t={now:.2f}s)"
                       + (" [final]" if chunk.final else ""))
         print(f"wrote {args.out} ({total / model.sr:.2f}s)")
         if args.timings:
-            print(json.dumps(model.last_timing))
+            print(json.dumps(timings))
         return 0
 
     if args.longform:

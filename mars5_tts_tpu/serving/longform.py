@@ -27,11 +27,18 @@ _SENTENCE_SPLIT = re.compile(r"(?<=[.!?])\s+")
 def chunk_text(text: str, max_chars: int = 300) -> list[str]:
     """Split text on sentence boundaries into chunks of at most ``max_chars``
     (a single over-long sentence is split on commas, then hard-wrapped)."""
+    if max_chars < 1:
+        raise ValueError(f"max_chars must be >= 1, got {max_chars}")
     sentences = [s.strip() for s in _SENTENCE_SPLIT.split(text.strip()) if s.strip()]
     chunks: list[str] = []
     cur = ""
     for s in sentences:
         if len(s) > max_chars:
+            # Flush buffered shorter sentences first so chunk order follows
+            # text order (an over-long sentence must not jump the queue).
+            if cur:
+                chunks.append(cur)
+                cur = ""
             parts = [p.strip() for p in s.split(",")]
             rebuilt = ""
             for p in parts:
@@ -130,7 +137,8 @@ def stream_longform(tts_model, text: str, ref_audio,
                     ref_transcript: Optional[str] = None,
                     cfg: Optional[InferenceConfig] = None,
                     max_chars: int = 300, fade_ms: float = 20.0,
-                    gap_ms: float = 60.0, seed: int = 0):
+                    gap_ms: float = 60.0, seed: int = 0,
+                    first_chunk_chars: Optional[int] = None):
     """Streaming long-form narration: yields playable PCM incrementally.
 
     Same synthesis as :func:`synthesize_longform`, but audio is surfaced as
@@ -142,11 +150,22 @@ def stream_longform(tts_model, text: str, ref_audio,
     yielded ``pcm`` is bit-identical to the batch stitcher's output (the
     per-junction math below reproduces :func:`crossfade_concat` exactly).
 
+    ``first_chunk_chars`` (optional) is a time-to-first-audio ramp: the first
+    text chunk is re-split at this smaller budget so the opening chunk — the
+    one the listener is waiting on — is cheap to synthesize, and later chunks
+    use the full ``max_chars``. Synthesis cost scales superlinearly with chunk
+    length (AR decode is per-token, NAR diffusion is per-frame x T steps), so
+    an 80-char opener cuts TTFA roughly proportionally. With the ramp active
+    the chunking differs from the batch stitcher's, so the bit-identity above
+    holds only against ``synthesize_longform`` run on the same chunk list.
+
     Yields :class:`StreamChunk` once per text chunk (the last one carries
     ``final=True`` and includes the held-back tail).
     """
     cfg = cfg or InferenceConfig()
     chunks = chunk_text(text, max_chars=max_chars)
+    if first_chunk_chars is not None and chunks and len(chunks[0]) > first_chunk_chars:
+        chunks = chunk_text(chunks[0], max_chars=first_chunk_chars) + chunks[1:]
     sr = tts_model.sr
     fade = max(int(sr * fade_ms / 1000), 1)
     gap = np.zeros(int(sr * gap_ms / 1000), np.float32)

@@ -45,6 +45,35 @@ def _base_args(env, out, *extra):
             "--trim-db", "200", "--seed", "3", "--out", out, *extra]
 
 
+def test_cli_parse_rejections():
+    """--max-chars must be positive; --stream/--longform are exclusive."""
+    from mars5_tts_tpu.cli import build_parser
+
+    p = build_parser()
+    base = ["--text", "t", "--ref", "r.wav", "--ar", "a", "--nar", "n"]
+    for bad in (["--max-chars", "0"], ["--max-chars", "-3"],
+                ["--first-chunk-chars", "0"], ["--stream", "--longform"]):
+        with pytest.raises(SystemExit):
+            p.parse_args(base + bad)
+    assert p.parse_args(base + ["--max-chars", "1"]).max_chars == 1
+
+
+def test_float_to_pcm16_matches_write_wav(tmp_path):
+    """The shared converter is the same math write_wav uses (byte contract)."""
+    import wave
+
+    from mars5_tts_tpu.audio.io import float_to_pcm16, write_wav
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(5000) * 0.7).astype(np.float32)
+    audio[:10] = 3.0  # clip region
+    path = str(tmp_path / "x.wav")
+    write_wav(path, audio)
+    with wave.open(path, "rb") as w:
+        raw = w.readframes(w.getnframes())
+    assert raw == float_to_pcm16(audio).tobytes()
+
+
 def test_cli_shallow_synthesis(cli_env, capsys):
     from mars5_tts_tpu.audio.io import read_wav
     from mars5_tts_tpu.cli import main

@@ -23,6 +23,43 @@ def test_chunk_text_overlong_sentence():
     assert "".join(c.replace(",", "").replace(" ", "") for c in chunks) == "word" * 100
 
 
+def test_chunk_text_preserves_order():
+    """Over-long sentences must not jump ahead of buffered short ones (r4 advisor)."""
+    from mars5_tts_tpu.serving import chunk_text
+
+    text = "Short one. " + "B" * 50 + ". Tail."
+    chunks = chunk_text(text, max_chars=20)
+    assert chunks[0] == "Short one."          # buffered text flushed first
+    assert chunks[-1] == "Tail."              # not merged across the long sentence
+    assert all("B" in c for c in chunks[1:-1])
+    # character content survives in order
+    flat = "".join(chunks).replace(" ", "").replace(",", "")
+    assert flat == text.replace(" ", "")
+
+
+def test_chunk_text_rejects_nonpositive():
+    import pytest
+
+    from mars5_tts_tpu.serving import chunk_text
+
+    for bad in (0, -5):
+        with pytest.raises(ValueError):
+            chunk_text("anything", max_chars=bad)
+
+
+def test_stream_first_chunk_ramp():
+    """first_chunk_chars re-splits only the opening chunk (TTFA ramp)."""
+    text = "Aaaa bbbb cccc dddd. Eeee ffff gggg hhhh. Iiii jjjj kkkk llll."
+    base = _collect_stream(_FakeTTS(seg_len=2400), text, max_chars=100)
+    assert len(base) == 1  # whole text fits one chunk at 100 chars
+    ramp = _collect_stream(_FakeTTS(seg_len=2400), text, max_chars=100,
+                           first_chunk_chars=25)
+    assert len(ramp) >= 2
+    assert len(ramp[0].text) <= 25
+    # text content identical overall
+    assert " ".join(c.text for c in ramp).split() == text.split()
+
+
 def test_crossfade_concat_energy():
     from mars5_tts_tpu.serving import crossfade_concat
 

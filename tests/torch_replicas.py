@@ -1,5 +1,11 @@
 """Pure-torch whole-model replicas of the Encodec encoder and Vocos vocoder.
 
+LICENSE NOTE: these test-only fixtures restate the architectures of Meta's
+encodec (MIT, github.com/facebookresearch/encodec) and charactr's vocos (MIT,
+github.com/gemelo-ai/vocos) in plain torch, by necessity mirroring those
+projects' documented module semantics. If this file ever leaves the test
+sandbox, carry the upstream MIT attributions with it.
+
 The ``encodec`` and ``vocos`` pip packages are not installed in this image, so
 these modules restate their architectures in plain torch as INDEPENDENT test
 oracles for the JAX implementations (mars5_tts_tpu/models/{encodec,vocos}.py).
