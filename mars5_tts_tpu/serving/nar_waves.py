@@ -116,3 +116,22 @@ class NarWaveScheduler:
             for i in range(0, len(reqs), self.wave_size):
                 self._run_wave(reqs[i: i + self.wave_size])
         return self.completed
+
+    def flush_full_waves(self) -> int:
+        """Run only FULL waves (wave_size compatible rows); keep the rest
+        queued. The overlapped serving loop calls this between AR chunk
+        quanta so diffusion starts as soon as a cohort is ready instead of
+        after every AR request completes; returns the number of waves run."""
+        groups: dict[tuple, list] = {}
+        for r in self.queue:
+            groups.setdefault(self._wave_key(r), []).append(r)
+        ran = 0
+        remainder: list = []
+        for _key, reqs in sorted(groups.items()):
+            n_full = len(reqs) // self.wave_size * self.wave_size
+            for i in range(0, n_full, self.wave_size):
+                self._run_wave(reqs[i: i + self.wave_size])
+                ran += 1
+            remainder.extend(reqs[n_full:])
+        self.queue = remainder
+        return ran

@@ -77,16 +77,17 @@ def main():
     fused = {w: prepare_fused(ar, ar_cfg, max_len=max_len, wbits=w)
              for w in (8, 4) if f"fused{w}" in ar_modes}
 
-    def ar_stage(mode):
+    def ar_stage(mode, uniforms=None):
+        uniforms = ar_uniforms if uniforms is None else uniforms
         t0 = time.perf_counter()
         if mode == "bf16":
             tokens, _ = ar_generate(ar, ar_cfg, prompt, prompt_codec[0].T,
-                                    sampling=sampling, uniforms=ar_uniforms)
+                                    sampling=sampling, uniforms=uniforms)
         else:
             fp, dims = fused[int(mode[5:])]  # "fused8" | "fused4"
             tokens, _ = ar_generate_fused(ar, fp, ar_cfg, dims, prompt,
                                           prompt_codec[0].T, sampling=sampling,
-                                          uniforms=ar_uniforms, interpret=False)
+                                          uniforms=uniforms, interpret=False)
         return time.perf_counter() - t0, np.asarray(tokens)
 
     def nar_stage(nar_p, l0, T, env=None, seed=1, gi=(0.0, 1.0)):
@@ -179,6 +180,31 @@ def main():
         nar_out[name] = (t_nar, round(agree, 4),
                          round(vocos_proxy(grid, ref_grid), 4))
 
+    # --- AR criterion, symmetric with the NAR's (VERDICT r4 #3): token
+    # agreement vs bf16 is chaotically uninformative (one flip re-seeds the
+    # suffix), so the fused engines are scored by FULL-PIPELINE feature
+    # distance — their tokens through a fixed-seed bf16 NAR + Vocos features,
+    # against the bf16 pipeline — and judged against an AR reseed floor: the
+    # same bf16 engine consuming an independent uniform stream, through the
+    # identical NAR. A fused engine whose pipeline output is no further from
+    # parity than an honest AR reseed is quality-indistinguishable from it.
+    ar_scored = {}
+    ar_floor = None
+    if os.environ.get("QMODES_AR_SCORE", "1") == "1" and len(ar_modes) > 1:
+        ar_uniforms2 = np.random.default_rng(8).random((max_len, 1)).astype(np.float32)
+        _, tokens_rs = ar_stage(ar_modes[0], uniforms=ar_uniforms2)
+        l0_rs = (tokens_rs[len(prompt):] - n_text).clip(0, 1023)
+        _, grid_rs = nar_stage(nar, l0_rs, 200)
+        ar_floor = round(vocos_proxy(grid_rs, ref_grid), 4)
+        ar_scored[f"{ar_modes[0]}_reseed"] = {
+            "pipeline_feat_rel_l2": ar_floor, "pass": None}
+        for mode in ar_modes[1:]:
+            l0_m = (ar_out[mode][1][len(prompt):] - n_text).clip(0, 1023)
+            _, grid_m = nar_stage(nar, l0_m, 200)
+            d = round(vocos_proxy(grid_m, ref_grid), 4)
+            ar_scored[mode] = {"pipeline_feat_rel_l2": d,
+                               "pass": bool(d <= 1.1 * ar_floor)}
+
     # accept/reject: a mode passes when its Vocos-feature distance to the
     # parity run is within 1.1x the reseed noise floor — i.e. swapping the
     # mode in moves the vocoder input no further than an honest reseed does.
@@ -217,6 +243,11 @@ def main():
                       f"floor ({round(noise_floor, 4)}); reseed grid "
                       f"agreement {round(reseed_agree, 4)} is the agreement "
                       f"scale, not a target"),
+        "ar_criterion": (None if ar_floor is None else
+                         f"full-pipeline (tokens -> fixed-seed bf16 NAR -> "
+                         f"Vocos features) rel L2 <= 1.1 x AR reseed floor "
+                         f"({ar_floor})"),
+        "ar_scored": ar_scored,
         "modes": modes}))
 
 

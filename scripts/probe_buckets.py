@@ -1,13 +1,15 @@
 """On-chip proof of the NAR geometry buckets (serving compile-count control).
 
 Times the full-geometry 200-step diffusion scan at two different generated
-lengths that share one 64-frame bucket:
+lengths that share one 64-frame bucket (710 and 730 both round up to 768;
+an earlier revision used 695, which lands in the 704 bucket and measured a
+real compile — r5 result recorded in PROBE_BUCKETS_r05.json):
 
   A. first call at gen=730, bucket=64  -> pays the (one) scan compile
   B. second call at gen=730            -> steady-state step time
-  C. first call at gen=695, bucket=64  -> same 768-frame bucket: NO compile,
+  C. first call at gen=710, bucket=64  -> same 768-frame bucket: NO compile,
                                           should land at ~B's time
-  D. (optional, PROBE_EXACT=1) first call at gen=695, bucket=0 -> exact shape,
+  D. (optional, PROBE_EXACT=1) first call at gen=710, bucket=0 -> exact shape,
      pays a fresh compile — the per-utterance cost unbucketed serving eats.
 
 Prints one JSON line. Protocol: one axon client at a time (CLAUDE.md).
@@ -64,12 +66,12 @@ def main():
     out = {
         "first_gen730_b64_s": round(run(730, 64), 2),    # compile + run
         "steady_gen730_b64_s": round(run(730, 64, 2), 2),
-        "first_gen695_b64_s": round(run(695, 64), 2),    # same bucket: no compile
+        "first_gen710_b64_s": round(run(710, 64), 2),    # same bucket: no compile
     }
     if os.environ.get("PROBE_EXACT") == "1":
-        out["first_gen695_exact_s"] = round(run(695, 0), 2)  # fresh compile
+        out["first_gen710_exact_s"] = round(run(710, 0), 2)  # fresh compile
     out["bucket_reuse_ok"] = bool(
-        out["first_gen695_b64_s"] < 2.0 * out["steady_gen730_b64_s"])
+        out["first_gen710_b64_s"] < 2.0 * out["steady_gen730_b64_s"])
     print(json.dumps({"metric": "nar_bucket_probe", "T": T, **out}))
 
 

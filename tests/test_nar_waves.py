@@ -179,3 +179,34 @@ def test_scheduler_groups_and_crops(nar):
         sched.submit(NarRequest(c_text=rng.integers(0, 32, 5),
                                 c_codes=rng.integers(0, 1024, (4, 8)),
                                 l0_codes=rng.integers(0, 1024, 11)))
+
+
+@pytest.mark.slow
+def test_scheduler_flush_full_waves(nar):
+    """flush_full_waves runs only complete cohorts; the remainder stays queued
+    and a later flush() drains it (the overlapped serving loop's contract)."""
+    from mars5_tts_tpu.serving.nar_waves import NarRequest, NarWaveScheduler
+
+    cfg, params = nar
+    rng = np.random.default_rng(2)
+    diff = MultinomialDiffusion(K, timesteps=4)
+    sched = NarWaveScheduler(params, cfg, diff, 4, _dsh(True), wave_size=2,
+                             gen_buckets=(6,), text_bucket=8)
+
+    def req(lg, seed):
+        return sched.submit(NarRequest(
+            c_text=rng.integers(0, 32, 5), c_codes=rng.integers(0, 1024, (4, 8)),
+            l0_codes=rng.integers(0, 1024, lg), seed=seed))
+
+    r1, r2, r3 = req(5, 0), req(6, 1), req(5, 2)
+    assert sched.flush_full_waves() == 1          # one full wave of 2
+    assert sched.waves_run == 1 and len(sched.completed) == 2
+    assert sched.queue == [r3]                    # remainder kept, in order
+    assert r3.grid is None
+    assert sched.flush_full_waves() == 0          # nothing full -> no-op
+    assert sched.queue == [r3]
+    done = sched.flush()                          # drains the partial wave
+    assert len(done) == 3 and sched.waves_run == 2
+    for r in (r1, r2, r3):
+        assert r.grid.shape == (len(r.l0_codes), 8)
+        np.testing.assert_array_equal(r.grid[:, 0], r.l0_codes)
