@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--first-chunk-chars", type=_positive_int, default=None,
                    help="stream only: smaller chunk budget for the FIRST chunk "
                         "(time-to-first-audio ramp, e.g. 80)")
+    p.add_argument("--first-chunk-timesteps", type=_positive_int, default=None,
+                   help="stream only: reduced NAR diffusion steps for the FIRST "
+                        "chunk (second TTFA ramp, e.g. 100; later chunks use "
+                        "--timesteps)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--top-k", type=int, default=200)
@@ -106,7 +110,8 @@ def main(argv=None) -> int:
                                          ref_transcript=transcript, cfg=cfg,
                                          max_chars=args.max_chars,
                                          seed=args.seed,
-                                         first_chunk_chars=args.first_chunk_chars):
+                                         first_chunk_chars=args.first_chunk_chars,
+                                         first_chunk_timesteps=args.first_chunk_timesteps):
                 pcm = float_to_pcm16(chunk.pcm)
                 w.writeframes(pcm.tobytes())
                 now = time.perf_counter() - t0

@@ -84,7 +84,12 @@ class Mars5TTS:
         self.nar_cfg = nar_cfg
         self.codeclm = jax.tree.map(jnp.asarray, convert_codeclm(ar_ckpt["model"], self.ar_cfg))
         self.codecnar = jax.tree.map(jnp.asarray, convert_nar(nar_ckpt["model"], self.nar_cfg))
+        self._set_codecs(encodec_params, vocos_params, encodec_cfg, vocos_cfg)
 
+        self._init_runtime(ar_backend, nar_backend, guidance_interval,
+                           nar_gen_bucket, nar_text_bucket)
+
+    def _set_codecs(self, encodec_params, vocos_params, encodec_cfg, vocos_cfg):
         self.encodec = jax.tree.map(jnp.asarray, encodec_params) if encodec_params else None
         self.vocos = jax.tree.map(jnp.asarray, vocos_params) if vocos_params else None
         if encodec_cfg is None:
@@ -96,6 +101,8 @@ class Mars5TTS:
         self.encodec_cfg = encodec_cfg
         self.vocos_cfg = vocos_cfg
 
+    def _init_runtime(self, ar_backend, nar_backend, guidance_interval,
+                      nar_gen_bucket, nar_text_bucket):
         # Beyond-reference serving dial (README "Known deviations"): apply CFG
         # only while t/T is in [lo, hi) — cond-only steps run half the decoder
         # batch. (0, 1) = reference behavior; scored like the reduced-T modes
@@ -171,6 +178,33 @@ class Mars5TTS:
     def from_local(cls, ar_path, nar_path, **kwargs) -> "Mars5TTS":
         """Build from local .safetensors/.pt checkpoints (reference layout)."""
         return cls(load_checkpoint(ar_path), load_checkpoint(nar_path), **kwargs)
+
+    @classmethod
+    def from_params(cls, codeclm, codecnar, ar_cfg, nar_cfg, *,
+                    texttok, speechtok, encodec_params=None, vocos_params=None,
+                    encodec_cfg=None, vocos_cfg=None,
+                    ar_backend: str = "bf16", nar_backend: str = "bf16",
+                    guidance_interval: tuple = (0.0, 1.0),
+                    nar_gen_bucket: Optional[int] = None,
+                    nar_text_bucket: Optional[int] = None) -> "Mars5TTS":
+        """Build from already-converted JAX parameter pytrees (serving path).
+
+        Skips the torch-naming checkpoint conversion — for processes that
+        already hold device-resident params (warm pools, benches, tests) and
+        the tokenizers as objects rather than checkpoint vocab metadata."""
+        self = cls.__new__(cls)
+        self.texttok, self.speechtok = texttok, speechtok
+        self.n_vocab = len(texttok.vocab) + len(speechtok.vocab)
+        self.n_text_vocab = len(texttok.vocab) + 1
+        self.diffusion_n_classes = 1025
+        self.ar_cfg = ar_cfg
+        self.nar_cfg = nar_cfg
+        self.codeclm = jax.tree.map(jnp.asarray, codeclm)
+        self.codecnar = jax.tree.map(jnp.asarray, codecnar)
+        self._set_codecs(encodec_params, vocos_params, encodec_cfg, vocos_cfg)
+        self._init_runtime(ar_backend, nar_backend, guidance_interval,
+                           nar_gen_bucket, nar_text_bucket)
+        return self
 
     # ------------------------------------------------------------------ codecs
     def _require_codec(self):

@@ -138,7 +138,8 @@ def stream_longform(tts_model, text: str, ref_audio,
                     cfg: Optional[InferenceConfig] = None,
                     max_chars: int = 300, fade_ms: float = 20.0,
                     gap_ms: float = 60.0, seed: int = 0,
-                    first_chunk_chars: Optional[int] = None):
+                    first_chunk_chars: Optional[int] = None,
+                    first_chunk_timesteps: Optional[int] = None):
     """Streaming long-form narration: yields playable PCM incrementally.
 
     Same synthesis as :func:`synthesize_longform`, but audio is surfaced as
@@ -159,6 +160,13 @@ def stream_longform(tts_model, text: str, ref_audio,
     the chunking differs from the batch stitcher's, so the bit-identity above
     holds only against ``synthesize_longform`` run on the same chunk list.
 
+    ``first_chunk_timesteps`` (optional) is the second TTFA ramp: the FIRST
+    chunk's NAR diffusion runs at this reduced step count (e.g. 100 — the
+    throughput tier promoted PASS by the reseed-floor criterion in
+    scripts/bench_quality_modes.py), later chunks at ``cfg.timesteps``. Only
+    the opening few seconds of audio take the (statistically reseed-level)
+    quality dial; everything after runs at parity settings.
+
     Yields :class:`StreamChunk` once per text chunk (the last one carries
     ``final=True`` and includes the held-back tail).
     """
@@ -173,8 +181,12 @@ def stream_longform(tts_model, text: str, ref_audio,
     total = 0                       # stream length so far (= len(out) in crossfade_concat)
     last = len(chunks) - 1
     for i, chunk in enumerate(chunks):
+        chunk_cfg = cfg
+        if i == 0 and first_chunk_timesteps is not None:
+            from dataclasses import replace
+            chunk_cfg = replace(cfg, timesteps=first_chunk_timesteps)
         _, audio = tts_model.tts(chunk, ref_audio, ref_transcript=ref_transcript,
-                                 cfg=cfg, seed=seed + i)
+                                 cfg=chunk_cfg, seed=seed + i)
         seg, _ = trim(np.asarray(audio), top_db=cfg.trim_db)
         seg = seg.astype(np.float32)
         if i == 0:

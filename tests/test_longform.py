@@ -149,3 +149,30 @@ def test_stream_single_chunk():
     stream = _collect_stream(model, text)
     assert len(stream) == 1 and stream[0].final
     assert np.array_equal(stream[0].pcm, batch.audio)
+
+
+def test_stream_first_chunk_timesteps_ramp():
+    """first_chunk_timesteps reduces cfg.timesteps for chunk 0 ONLY."""
+    from mars5_tts_tpu import InferenceConfig
+
+    class _RecordingTTS(_FakeTTS):
+        def __init__(self):
+            super().__init__(seg_len=2400)
+            self.seen_T = []
+
+        def tts(self, text, ref_audio, ref_transcript=None, cfg=None, seed=0):
+            self.seen_T.append(cfg.timesteps)
+            return super().tts(text, ref_audio, ref_transcript, cfg, seed)
+
+    text = "Aaaa bbbb cccc dddd. Eeee ffff gggg hhhh. Iiii jjjj kkkk llll."
+    model = _RecordingTTS()
+    out = _collect_stream(model, text, max_chars=25,
+                          cfg=InferenceConfig(timesteps=200),
+                          first_chunk_timesteps=100)
+    assert len(out) >= 2
+    assert model.seen_T[0] == 100
+    assert all(t == 200 for t in model.seen_T[1:])
+    # no ramp -> every chunk at cfg.timesteps
+    model2 = _RecordingTTS()
+    _collect_stream(model2, text, max_chars=25, cfg=InferenceConfig(timesteps=200))
+    assert all(t == 200 for t in model2.seen_T)

@@ -315,3 +315,29 @@ def test_tts_nar_geometry_buckets(tiny_mars5):
     np.testing.assert_array_equal(b1, b2)       # bucketed is deterministic
     assert len(b1) == len(base)                 # pads cropped: same audio length
     assert np.isfinite(b1).all()
+
+
+def test_from_params_matches_checkpoint_pipeline(tiny_mars5):
+    """Mars5TTS.from_params (in-memory params + tokenizer objects, no torch
+    checkpoint round trip) produces the exact same synthesis as the
+    checkpoint-constructed pipeline."""
+    from mars5_tts_tpu import InferenceConfig
+    from mars5_tts_tpu.pipeline import Mars5TTS
+
+    mars5, _ = tiny_mars5
+    clone = Mars5TTS.from_params(
+        mars5.codeclm, mars5.codecnar, mars5.ar_cfg, mars5.nar_cfg,
+        texttok=mars5.texttok, speechtok=mars5.speechtok,
+        encodec_params=mars5.encodec, vocos_params=mars5.vocos,
+        encodec_cfg=mars5.encodec_cfg, vocos_cfg=mars5.vocos_cfg)
+    clone.default_T = mars5.default_T
+    assert clone.n_vocab == mars5.n_vocab
+    assert clone.n_text_vocab == mars5.n_text_vocab
+
+    cfg = InferenceConfig(deep_clone=False, generate_max_len_override=160,
+                          timesteps=8, trim_db=200)
+    ref = _ref_audio()
+    codes_a, audio_a = mars5.tts("hi", ref, ref_transcript="", cfg=cfg, seed=3)
+    codes_b, audio_b = clone.tts("hi", ref, ref_transcript="", cfg=cfg, seed=3)
+    np.testing.assert_array_equal(codes_a, codes_b)
+    np.testing.assert_array_equal(audio_a, audio_b)
