@@ -108,10 +108,16 @@ def main():
 
         nar_q = quantize_nar(nar)
         diff = MultinomialDiffusion(1025, timesteps=wave_t)
+        # WAVE_GI="lo,hi": guidance interval for the wave tier (CFG only while
+        # t/T is inside [lo, hi) — cond-only steps run half the decoder batch).
+        # Only promote values that pass the reseed-floor criterion in
+        # QMODES_r05 (scripts/bench_quality_modes.py).
+        gi = tuple(float(v) for v in
+                   os.environ.get("WAVE_GI", "0,1").split(","))
         dsh = DSH(last_greedy=True, x_0_temp=0.7, guidance_w=3.0,
                   deep_clone=True, jump_len=1, jump_n_sample=1,
                   q0_override_steps=min(20, wave_t // 10),
-                  enable_kevin_scaled_inference=True)
+                  enable_kevin_scaled_inference=True, guidance_interval=gi)
 
         def to_nar(r, i):
             l0 = (r.tokens[len(r.prompt):] - n_text).clip(0, 1023)
@@ -182,6 +188,7 @@ def main():
         detail.update({"nar_busy_s": round(nar_busy, 2),
                        "nar_waves": sched.waves_run,
                        "wave_rows": wave_rows, "wave_t": wave_t,
+                       "wave_gi": list(gi),
                        "gen_bucket": gen_bucket,
                        "nar_audio_s_per_s": round(audio_s / nar_busy, 3)})
         print(json.dumps({
