@@ -171,7 +171,11 @@ def main():
             ("int8_T100", nar_int8, 100, None, (0.0, 1.0)),
             ("int8_T50", nar_int8, 50, None, (0.0, 1.0)),
             ("int8_cfghi50_T200", nar_int8, 200, None, (0.5, 1.0)),
-            ("int8_cfglo50_T200", nar_int8, 200, None, (0.0, 0.5))]:
+            ("int8_cfglo50_T200", nar_int8, 200, None, (0.0, 0.5)),
+            # combined throughput tier: reduced T x guidance interval (the
+            # continuous-serving wave configuration, VERDICT r4 #1c)
+            ("int8_cfglo50_T100", nar_int8, 100, None, (0.0, 0.5)),
+            ("int8_cfghi50_T100", nar_int8, 100, None, (0.5, 1.0))]:
         if row_filter and name not in row_filter:
             continue
         nar_stage(nar_p, l0, T, env, gi=gi)  # warm
