@@ -22,15 +22,24 @@ class Predictor:
         nar_path = nar_path or os.environ.get("MARS5_NAR_CKPT", "mars5_nar.safetensors")
         encodec_path = encodec_path or os.environ.get("MARS5_ENCODEC_CKPT")
         vocos_path = vocos_path or os.environ.get("MARS5_VOCOS_CKPT")
-        # serving defaults to the quantized fast path on TPU; MARS5_AR_BACKEND/
-        # MARS5_NAR_BACKEND=bf16 restores exact reference-parity numerics.
+        # serving defaults to the quantized fast path on TPU (int4 megakernel:
+        # QMODES_r05 ar_scored fused4 PASS at the reseed-floor criterion);
+        # MARS5_AR_BACKEND/MARS5_NAR_BACKEND=bf16 restores exact
+        # reference-parity numerics.
         # Geometry buckets default ON here (one diffusion-scan compile per
         # 64-frame/32-token bucket instead of per utterance geometry — see
         # docs/serving.md); MARS5_NAR_GEN_BUCKET=0 restores exact shapes.
-        kwargs = {"ar_backend": os.environ.get("MARS5_AR_BACKEND", "fused"),
+        # Guidance interval: CFG only on the low-noise half of the diffusion
+        # trajectory — scored and promoted in QMODES_r05 (feature rel-L2 0.1458
+        # vs floor 1.3139, closer to parity than plain int8's 0.1776, NAR stage
+        # ~25% cheaper). MARS5_GUIDANCE_INTERVAL=0,1 restores reference CFG.
+        gi = tuple(float(v) for v in
+                   os.environ.get("MARS5_GUIDANCE_INTERVAL", "0,0.5").split(","))
+        kwargs = {"ar_backend": os.environ.get("MARS5_AR_BACKEND", "fused4"),
                   "nar_backend": os.environ.get("MARS5_NAR_BACKEND", "int8"),
                   "nar_gen_bucket": int(os.environ.get("MARS5_NAR_GEN_BUCKET", "64")),
-                  "nar_text_bucket": int(os.environ.get("MARS5_NAR_TEXT_BUCKET", "32"))}
+                  "nar_text_bucket": int(os.environ.get("MARS5_NAR_TEXT_BUCKET", "32")),
+                  "guidance_interval": gi}
         if encodec_path:
             kwargs["encodec_params"] = load_codec_params(encodec_path, "encodec")
         if vocos_path:

@@ -243,13 +243,29 @@ def sample_from_logprobs(logprobs, u):
         logprobs: (bs, V) normalized log-probabilities (may contain -inf).
         u: (bs,) uniforms in [0, 1).
     Returns:
-        (bs,) int32 sampled indices.
+        (bs,) int32 sampled indices, always at a finite-logprob entry.
     """
     probs = jnp.exp(logprobs)
     cdf = jnp.cumsum(probs, axis=-1)
     total = cdf[..., -1:]
     r = u[..., None] * total
-    return jnp.sum(cdf <= r, axis=-1).astype(jnp.int32)
+    raw = jnp.sum(cdf <= r, axis=-1).astype(jnp.int32)  # first i with cdf > r
+    # Float cumsum is a reassociated parallel scan: inside a zero-probability
+    # (-inf) run the cdf can wobble by a few ulps instead of staying exactly
+    # flat, so `raw` can land on a masked index — or one past the window when
+    # u*total rounds up to total. Exact inverse-CDF never returns a
+    # zero-probability token (the reference's torch.multinomial can't either):
+    # snap to the first live index at-or-after `raw` (the exact-math answer
+    # for r inside a flat stretch), falling back to the last live index when
+    # raw overran the end. Observed on-chip: a 2304-step AR decode sampled
+    # index == valid_end once, crashing the tokenizer (bench_ttfa, r5).
+    v = logprobs.shape[-1]
+    idx = jnp.arange(v, dtype=jnp.int32)
+    live = jnp.isfinite(logprobs)
+    at_or_after = jnp.min(
+        jnp.where(live & (idx >= raw[..., None]), idx, v), axis=-1)
+    last_live = jnp.max(jnp.where(live, idx, -1), axis=-1)
+    return jnp.where(at_or_after < v, at_or_after, last_live).astype(jnp.int32)
 
 
 MIN_LOG_ARG = 1e-7  # matches reference diffuser clamp (mars5/diffuser.py:18)

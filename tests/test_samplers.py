@@ -143,3 +143,49 @@ def test_topk_blocked_exact():
         tv, ti = jax.jit(lambda x: topk_blocked(x, k))(x)
         np.testing.assert_array_equal(np.asarray(bv), np.asarray(tv))
         np.testing.assert_array_equal(np.asarray(bi), np.asarray(ti))
+
+
+def test_inverse_cdf_never_samples_masked():
+    """sample_from_logprobs must never return a -inf (zero-probability) index.
+
+    XLA's cumsum is a reassociated parallel scan: inside a masked run the cdf
+    can wobble by a few ulps instead of staying flat, so the raw `sum(cdf<=r)`
+    count can land on a masked index — observed on-chip as an AR decode
+    sampling exactly `valid_end` and crashing the tokenizer (bench_ttfa, r5).
+    Property-test the guard (all draws live), and check the snap is exact
+    inverse-CDF: identical to searchsorted over the live-entry cdf.
+    """
+    import jax.numpy as jnp
+    from mars5_tts_tpu.ops.sampling import NEG_INF, sample_from_logprobs
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        v = int(rng.integers(8, 2000))
+        bs = int(rng.integers(1, 5))
+        logits = rng.standard_normal((bs, v)).astype(np.float32) * 3
+        # random masking incl. masked head/tail runs (the AR vocab-window shape)
+        mask = rng.random((bs, v)) < rng.uniform(0.3, 0.98)
+        mask[:, : int(rng.integers(0, v // 3))] = True
+        mask[:, v - int(rng.integers(1, v // 3)):] = True
+        mask[np.arange(bs), rng.integers(0, v, bs)] = False  # >=1 live per row
+        logits[mask] = NEG_INF
+        logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True))
+                               .sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
+        # uniforms incl. the hostile u -> 1 edge
+        us = np.concatenate([rng.random(6), [0.0, 1 - 1e-7, 1 - 6e-8]]).astype(np.float32)
+        for ui, u in enumerate(us):
+            out = np.asarray(sample_from_logprobs(
+                jnp.asarray(logp), jnp.asarray([u] * bs, np.float32)))
+            for b in range(bs):
+                assert np.isfinite(logp[b, out[b]]), (trial, u, out[b])
+                if ui >= 6:
+                    continue  # hostile u->1 edges: liveness is the contract
+                # exactness on ordinary uniforms: searchsorted over the
+                # live-only cdf (a sequential-cumsum oracle; at the u->1 edge
+                # it can disagree with XLA's reassociated scan by one live
+                # step, which is why the edge rows assert liveness only)
+                live_idx = np.flatnonzero(~mask[b])
+                cdf = np.cumsum(np.exp(logp[b, live_idx]), dtype=np.float32)
+                j = np.searchsorted(cdf, np.float32(u) * cdf[-1], side="right")
+                expect = live_idx[min(j, len(live_idx) - 1)]
+                assert out[b] == expect, (trial, u, out[b], expect)
