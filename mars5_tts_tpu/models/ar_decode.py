@@ -43,6 +43,27 @@ from ..ops.sampling import (apply_typical_p, filter_topk_subset,
 from .ar import CodecLMConfig, codeclm_prefill, spk_embedding
 
 
+def ar_vocab_window(n_text_vocab: int, n_speech_vocab: int,
+                    n_model_vocab: int) -> tuple[int, int]:
+    """(valid_start, valid_end) for the AR speech-token window.
+
+    The reference sets ``valid_end = len(texttok.vocab) + len(speechtok.vocab)
+    + 1`` (mars5/ar_generate.py:41), but its ``+ 1`` is always cut by the
+    logits width: its model vocab is exactly ``text + speech``
+    (inference.py:100-103), so the highest samplable id is ``text + speech -
+    1`` — the last decodable speech token. We encode that *effective* bound
+    explicitly: when ``n_model_vocab > text + speech`` (e.g. bench geometry
+    pairing a 24k-vocab model with tiny fixture tokenizers), the ids at and
+    past ``text + speech`` are live junk logit rows inside the reference's
+    nominal window; an AR decode eventually samples one and
+    ``speechtok.decode_int`` rejects it (observed on-chip: bench_ttfa r5,
+    token id 1025 of a 1025-entry vocab).
+    """
+    valid_start = n_text_vocab
+    valid_end = min(n_text_vocab + n_speech_vocab, n_model_vocab)
+    return valid_start, valid_end
+
+
 @dataclass(frozen=True)
 class ArSampling:
     """Static sampling hyperparameters for one generation (from InferenceConfig)."""
@@ -60,7 +81,7 @@ class ArSampling:
     n_phones_gen: int = 0
     eos_idx: int = 0
     valid_start: int = 0          # len(texttok.vocab)
-    valid_end: int = 0            # valid_start + len(speechtok.vocab) + 1
+    valid_end: int = 0            # see ar_vocab_window (clamped to model vocab)
     max_len: int = 2000           # max total sequence length (prompt + generated)
 
 

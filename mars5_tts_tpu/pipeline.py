@@ -31,7 +31,8 @@ from .config import DSH, InferenceConfig
 from .diffusion import MultinomialDiffusion, perform_simple_inference
 from .hub import load_checkpoint, load_tokenizers
 from .models.ar import CodecLMConfig, spk_embedding
-from .models.ar_decode import ArSampling, ar_generate, ar_generate_nocache
+from .models.ar_decode import (ArSampling, ar_generate, ar_generate_nocache,
+                               ar_vocab_window)
 
 
 def _fused_interpret():
@@ -103,6 +104,12 @@ class Mars5TTS:
 
     def _init_runtime(self, ar_backend, nar_backend, guidance_interval,
                       nar_gen_bucket, nar_text_bucket):
+        # AR speech-token window, clamped to the model's true vocab (the
+        # reference's `+ 1` bound is vacuous there; see ar_vocab_window).
+        self._valid_window = ar_vocab_window(
+            len(self.texttok.vocab), len(self.speechtok.vocab),
+            self.ar_cfg.n_vocab)
+
         # Beyond-reference serving dial (README "Known deviations"): apply CFG
         # only while t/T is in [lo, hi) — cond-only steps run half the decoder
         # batch. (0, 1) = reference behavior; scored like the reduced-T modes
@@ -326,8 +333,8 @@ class Mars5TTS:
                 eos_penalty_factor=cfg.eos_penalty_factor,
                 n_phones_gen=round(cfg.eos_estimated_gen_length_factor * len(text)),
                 eos_idx=len(self.texttok.vocab) + self.speechtok.special_tokens["<|endofspeech|>"],
-                valid_start=len(self.texttok.vocab),
-                valid_end=len(self.texttok.vocab) + len(self.speechtok.vocab) + 1,
+                valid_start=self._valid_window[0],
+                valid_end=self._valid_window[1],
                 max_len=max_len)
             from .ops.pallas import enabled as _pallas_enabled
             if (self.ar_backend != "bf16" and cfg.use_kv_cache
@@ -492,8 +499,8 @@ class Mars5TTS:
                 eos_penalty_factor=cfg.eos_penalty_factor,
                 n_phones_gen=max(est_lens),
                 eos_idx=len(self.texttok.vocab) + self.speechtok.special_tokens["<|endofspeech|>"],
-                valid_start=len(self.texttok.vocab),
-                valid_end=len(self.texttok.vocab) + len(self.speechtok.vocab) + 1,
+                valid_start=self._valid_window[0],
+                valid_end=self._valid_window[1],
                 max_len=max_len)
             spk_list = [c[0].T for c in row_codec]
             from .ops.pallas import enabled as _pallas_enabled

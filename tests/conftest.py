@@ -63,3 +63,8 @@ def add_reference_to_path():
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: full-geometry / multi-minute tests")
+    config.addinivalue_line(
+        "markers",
+        "heavy: expensive coverage beyond the fast per-family core — run via "
+        "tests/run_suite.sh --heavy (or plain pytest); the fast tier "
+        "(run_suite.sh default, CI) deselects these to stay under 5 min")

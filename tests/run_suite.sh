@@ -8,19 +8,22 @@
 # creep is visible.
 #
 # Usage:
-#   tests/run_suite.sh            # the 'not slow' subset (CI default)
+#   tests/run_suite.sh            # FAST tier: 'not slow and not heavy' (<5 min, CI default)
+#   tests/run_suite.sh --heavy    # fast + heavy: the 'not slow' subset (~15 min)
 #   tests/run_suite.sh --slow     # everything, incl. full-geometry smokes
-#   tests/run_suite.sh tests/test_foo.py [...]   # explicit files
+#   tests/run_suite.sh tests/test_foo.py [...]   # explicit files (fast tier)
 #
 # A file that fails is retried ONCE (covers the known segfault flake); a
 # second failure fails the suite.
 set -u
 cd "$(dirname "$0")/.."
 
-MARK="-m not_slow_placeholder"
-ARGS=()
+EXPR="not slow and not heavy"
 if [[ "${1:-}" == "--slow" ]]; then
-    MARK=""
+    EXPR=""
+    shift
+elif [[ "${1:-}" == "--heavy" ]]; then
+    EXPR="not slow"
     shift
 fi
 if [[ $# -gt 0 ]]; then
@@ -34,8 +37,8 @@ total_t0=$(date +%s)
 declare -a SUMMARY
 for f in "${FILES[@]}"; do
     t0=$(date +%s)
-    if [[ -n "$MARK" ]]; then
-        out=$(python -m pytest "$f" -q -m 'not slow' 2>&1)
+    if [[ -n "$EXPR" ]]; then
+        out=$(python -m pytest "$f" -q -m "$EXPR" 2>&1)
     else
         out=$(python -m pytest "$f" -q 2>&1)
     fi
@@ -43,8 +46,8 @@ for f in "${FILES[@]}"; do
     if [[ $rc -ne 0 && $rc -ne 5 ]]; then
         echo "== RETRY $f (rc=$rc) — tail of first attempt:"
         echo "$out" | tail -5
-        if [[ -n "$MARK" ]]; then
-            out=$(python -m pytest "$f" -q -m 'not slow' 2>&1)
+        if [[ -n "$EXPR" ]]; then
+            out=$(python -m pytest "$f" -q -m "$EXPR" 2>&1)
         else
             out=$(python -m pytest "$f" -q 2>&1)
         fi

@@ -189,3 +189,27 @@ def test_inverse_cdf_never_samples_masked():
                 j = np.searchsorted(cdf, np.float32(u) * cdf[-1], side="right")
                 expect = live_idx[min(j, len(live_idx) - 1)]
                 assert out[b] == expect, (trial, u, out[b], expect)
+
+
+def test_ar_vocab_window_clamps_to_model_vocab():
+    """The AR window's upper bound must never exceed the model vocab.
+
+    The reference's `valid_end = text + speech + 1` (mars5/ar_generate.py:41)
+    is vacuous there (its logits end at n_vocab = text + speech); with a model
+    vocab LARGER than text + speech (bench geometry: 24k-vocab random weights
+    + tiny fixture tokenizers), the id at text + speech is a live junk logit
+    row inside that window — an AR decode eventually samples it and
+    speechtok.decode_int raises (observed on-chip: bench_ttfa, r5).
+    """
+    from mars5_tts_tpu.models.ar_decode import ar_vocab_window
+
+    # reference-true geometry: bound == n_vocab, same effective window as +1
+    assert ar_vocab_window(258, 1025, 258 + 1025) == (258, 1283)
+    # mismatched geometry (bench weights): clamp excludes the junk rows
+    assert ar_vocab_window(258, 1025, 24_000) == (258, 1283)
+    # the pipeline wires the clamp (both tts and the serving pool use it)
+    import inspect
+
+    from mars5_tts_tpu import pipeline
+    src = inspect.getsource(pipeline.Mars5TTS._init_runtime)
+    assert "ar_vocab_window" in src
