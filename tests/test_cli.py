@@ -74,6 +74,7 @@ def test_float_to_pcm16_matches_write_wav(tmp_path):
     assert raw == float_to_pcm16(audio).tobytes()
 
 
+@pytest.mark.heavy
 def test_cli_shallow_synthesis(cli_env, capsys):
     from mars5_tts_tpu.audio.io import read_wav
     from mars5_tts_tpu.cli import main

@@ -105,6 +105,7 @@ def test_encodec_encode_shapes_and_range():
     assert codes.min() >= 0 and codes.max() < cfg.codebook_size
 
 
+@pytest.mark.heavy
 def test_encodec_streaming_causality():
     """Causal encoder: truncating the input does not change earlier frames."""
     from mars5_tts_tpu.models.encodec import EncodecConfig, encoder_forward, init_encodec

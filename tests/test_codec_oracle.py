@@ -33,7 +33,7 @@ TINY = EncodecConfig(dimension=16, n_filters=4, ratios=(4, 2), n_q=4,
                      codebook_size=64)
 
 
-@pytest.mark.parametrize("t_len", [512, 505, 93])  # 505/93: extra-padding path
+@pytest.mark.parametrize("t_len", [512, pytest.param(505, marks=pytest.mark.heavy), pytest.param(93, marks=pytest.mark.heavy)])  # 505/93: extra-padding path
 def test_encodec_encoder_full_model_tiny(t_len):
     enc, codebooks, sd = make_encodec_state_dict(TINY, seed=0)
     params = convert_encodec(sd, TINY)

@@ -144,6 +144,7 @@ def test_folded_heads_match_unfolded():
     assert agree > 0.95, agree
 
 
+@pytest.mark.heavy
 def test_folded_heads_padded_classes():
     cfg, p = _nar_with_affines()
     pq = quantize_nar(p)

@@ -57,6 +57,7 @@ def test_head4_vs_fp_reference():
     assert 0.02 < rel < 0.20, rel
 
 
+@pytest.mark.heavy
 def test_head4_opt_in(monkeypatch):
     """Default pack keeps the int8 head; MARS5_HEAD4=1 switches to int4."""
     from mars5_tts_tpu.models.ar import CodecLMConfig, init_codeclm

@@ -368,6 +368,7 @@ def test_engine_fused_interpret_and_grouped(monkeypatch):
     _clear()  # don't leak interpret traces to other tests
 
 
+@pytest.mark.heavy
 def test_decoder_stack_q_tail_start(monkeypatch):
     """Final-layer query slicing (deep-clone prompt rows dropped inside the
     stack) matches the full stack sliced afterwards: the integer-GEMM fused

@@ -69,6 +69,7 @@ def stack():
     return _make_stack(NLAYERS)
 
 
+@pytest.mark.heavy
 def test_mega_supported_gate(stack):
     from mars5_tts_tpu.ops.pallas.nar_mega import mega_supported
 

@@ -47,6 +47,7 @@ def test_tokenizer_uses_native_and_agrees():
     assert len(fast) < 3000  # merges actually applied
 
 
+@pytest.mark.heavy
 def test_native_speedup():
     tok = _trained_tok(seed=4, n_merges=500)
     rng = np.random.default_rng(5)

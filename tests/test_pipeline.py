@@ -268,6 +268,7 @@ def test_deploy_predictor_end_to_end(tiny_mars5, tmp_path):
     assert sr == 24000 and np.isfinite(wav).all() and wav.size > 0
 
 
+@pytest.mark.heavy
 def test_tts_guidance_interval(tiny_mars5):
     """The guidance-interval serving dial synthesizes end-to-end and the
     default interval reproduces the reference-behavior output exactly."""
@@ -292,6 +293,7 @@ def test_tts_guidance_interval(tiny_mars5):
     assert len(fast) > 0 and np.isfinite(fast).all()
 
 
+@pytest.mark.heavy
 def test_tts_nar_geometry_buckets(tiny_mars5):
     """NAR geometry buckets synthesize end-to-end, keep the output length
     exact (pads cropped), and stay deterministic; a bucket of 1 is the exact

@@ -161,7 +161,7 @@ def test_fused_ar_token_divergence():
     del agree
 
 
-@pytest.mark.parametrize("wbits,budget", [pytest.param(8, 0.02, marks=pytest.mark.slow), (4, 0.05)])
+@pytest.mark.parametrize("wbits,budget", [pytest.param(8, 0.02, marks=pytest.mark.slow), pytest.param(4, 0.05, marks=pytest.mark.heavy)])
 def test_fused_step_logit_error(wbits, budget):
     """Direct one-step fidelity: fused int8/int4(+KV8) logits vs bf16 engine.
 

@@ -36,6 +36,7 @@ def _batches(ar_cfg, nar_cfg, bs=2):
             (c_text, c_codes, jnp.full((bs,), 5), jnp.full((bs,), 4), x0, xpm))
 
 
+@pytest.mark.heavy
 def test_ar_loss_matches_manual_ce(tiny_train_setup):
     from mars5_tts_tpu.models.ar import codeclm_forward
     from mars5_tts_tpu.train import ar_loss_fn
