@@ -274,7 +274,63 @@ class Mars5TTS:
 
         cfg = cfg or InferenceConfig()
         timer = StageTimer()
+        (text_tokens, prompt_codec, raw_prompt_acoustic_len,
+         gen_codes_decoded) = self._synthesize_codes(
+            text, ref_audio, ref_transcript, cfg, seed, timer)
 
+        with timer.stage("nar_diffusion"):
+            c_text = np.asarray(text_tokens, np.int64)[None]
+            c_codes = prompt_codec.transpose(0, 2, 1)  # (1, S, n_q)
+            c_texts_lengths = np.asarray([len(text_tokens)], np.int64)
+            c_codes_lengths = np.asarray([c_codes.shape[1]], np.int64)
+            _x = np.repeat(gen_codes_decoded[None, :, None], 8, axis=2)
+            x_padding_mask = np.zeros((1, _x.shape[1]), bool)
+
+            # NOTE: the reference hardcodes T = self.default_T (inference.py:286),
+            # silently ignoring its own cfg.timesteps knob; we honor it (identical
+            # at the default 200).
+            T = cfg.timesteps or self.default_T
+            diff = MultinomialDiffusion(self.diffusion_n_classes, timesteps=T)
+            dsh = DSH(last_greedy=True, x_0_temp=cfg.x_0_temp,
+                      guidance_w=cfg.nar_guidance_w, deep_clone=cfg.deep_clone,
+                      jump_len=1, jump_n_sample=1,
+                      q0_override_steps=cfg.q0_override_steps,
+                      enable_kevin_scaled_inference=True, progress=False,
+                      guidance_interval=self.guidance_interval)
+            final_output = perform_simple_inference(
+                self.codecnar, self.nar_cfg,
+                (c_text, c_codes, c_texts_lengths, c_codes_lengths, _x, x_padding_mask),
+                diff, diff.num_timesteps, dsh, retain_quant0=True,
+                # rbg: fast partitionable PRNG for the ~20M Gumbel draws per step
+                key=jax.random.key(seed + 1, impl="rbg"),
+                gen_bucket=self.nar_gen_bucket,
+                text_bucket=self.nar_text_bucket)
+
+            skip_front = raw_prompt_acoustic_len if cfg.deep_clone else 0
+            # device hand-off: the grid goes straight into the vocoder without
+            # a host round trip (the vocode stage wall absorbs the NAR device
+            # wait; MARS5_SYNC_STAGES=1 restores per-stage sync for profiling)
+            final_output = jnp.asarray(final_output)[0, skip_front:]
+            if os.environ.get("MARS5_SYNC_STAGES") == "1":
+                final_output = np.asarray(final_output)
+
+        with timer.stage("vocode"):
+            final_audio = self.vocode(final_output)
+
+        with timer.stage("trim"):
+            final_audio, _ = trim(final_audio, top_db=cfg.trim_db)
+
+        self.last_timing = timer.report(audio_seconds=len(final_audio) / self.sr)
+        return gen_codes_decoded, final_audio
+
+    def _synthesize_codes(self, text, ref_audio, ref_transcript, cfg, seed,
+                          timer):
+        """Text/reference prep + AR decode + parse (the first half of tts).
+
+        Returns ``(text_tokens, prompt_codec (1, n_q, S), raw_prompt_acoustic_len,
+        gen_codes_decoded (Lgen,) int64 L0 ids)``; shared by ``tts`` and the
+        progressive intra-utterance streamer (serving/progressive.py).
+        """
         if cfg.deep_clone and ref_transcript is None:
             raise AssertionError(
                 "Inference config deep clone is set to true, but reference "
@@ -364,50 +420,7 @@ class Mars5TTS:
             gen_codes_decoded = np.asarray(
                 [s for s in gen_codes_decoded if isinstance(s, int)], np.int64)
 
-        with timer.stage("nar_diffusion"):
-            c_text = np.asarray(text_tokens, np.int64)[None]
-            c_codes = prompt_codec.transpose(0, 2, 1)  # (1, S, n_q)
-            c_texts_lengths = np.asarray([len(text_tokens)], np.int64)
-            c_codes_lengths = np.asarray([c_codes.shape[1]], np.int64)
-            _x = np.repeat(gen_codes_decoded[None, :, None], 8, axis=2)
-            x_padding_mask = np.zeros((1, _x.shape[1]), bool)
-
-            # NOTE: the reference hardcodes T = self.default_T (inference.py:286),
-            # silently ignoring its own cfg.timesteps knob; we honor it (identical
-            # at the default 200).
-            T = cfg.timesteps or self.default_T
-            diff = MultinomialDiffusion(self.diffusion_n_classes, timesteps=T)
-            dsh = DSH(last_greedy=True, x_0_temp=cfg.x_0_temp,
-                      guidance_w=cfg.nar_guidance_w, deep_clone=cfg.deep_clone,
-                      jump_len=1, jump_n_sample=1,
-                      q0_override_steps=cfg.q0_override_steps,
-                      enable_kevin_scaled_inference=True, progress=False,
-                      guidance_interval=self.guidance_interval)
-            final_output = perform_simple_inference(
-                self.codecnar, self.nar_cfg,
-                (c_text, c_codes, c_texts_lengths, c_codes_lengths, _x, x_padding_mask),
-                diff, diff.num_timesteps, dsh, retain_quant0=True,
-                # rbg: fast partitionable PRNG for the ~20M Gumbel draws per step
-                key=jax.random.key(seed + 1, impl="rbg"),
-                gen_bucket=self.nar_gen_bucket,
-                text_bucket=self.nar_text_bucket)
-
-            skip_front = raw_prompt_acoustic_len if cfg.deep_clone else 0
-            # device hand-off: the grid goes straight into the vocoder without
-            # a host round trip (the vocode stage wall absorbs the NAR device
-            # wait; MARS5_SYNC_STAGES=1 restores per-stage sync for profiling)
-            final_output = jnp.asarray(final_output)[0, skip_front:]
-            if os.environ.get("MARS5_SYNC_STAGES") == "1":
-                final_output = np.asarray(final_output)
-
-        with timer.stage("vocode"):
-            final_audio = self.vocode(final_output)
-
-        with timer.stage("trim"):
-            final_audio, _ = trim(final_audio, top_db=cfg.trim_db)
-
-        self.last_timing = timer.report(audio_seconds=len(final_audio) / self.sr)
-        return gen_codes_decoded, final_audio
+        return text_tokens, prompt_codec, raw_prompt_acoustic_len, gen_codes_decoded
 
     def tts_batch(self, texts, ref_audio, ref_transcript=None,
                   cfg: Optional[InferenceConfig] = None, seed: int = 0):
