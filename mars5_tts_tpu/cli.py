@@ -39,6 +39,14 @@ def build_parser() -> argparse.ArgumentParser:
     mode.add_argument("--stream", action="store_true",
                       help="longform streaming: write PCM to --out incrementally as "
                            "each chunk finalizes and report time-to-first-audio")
+    mode.add_argument("--progressive", action="store_true",
+                      help="intra-utterance streaming: emit audio per denoised "
+                           "NAR segment (RePaint continuation) instead of once "
+                           "at the end; no silence trim")
+    p.add_argument("--seg-frames", type=_positive_int, default=192,
+                   help="progressive only: codec frames per emitted segment")
+    p.add_argument("--ctx-frames", type=int, default=192,
+                   help="progressive only: emitted-tail context frames per segment")
     p.add_argument("--trim-db", type=float, default=None,
                    help="silence-trim threshold in dB (InferenceConfig.trim_db)")
     p.add_argument("--max-chars", type=_positive_int, default=300,
@@ -91,6 +99,46 @@ def main(argv=None) -> int:
                           timesteps=args.timesteps,
                           generate_max_len_override=args.max_len, **cfg_kwargs)
     transcript = args.transcript if args.transcript is not None else ("" if args.shallow else None)
+
+    if args.progressive:
+        import time
+        import wave
+
+        from .audio.io import float_to_pcm16
+        from .serving import stream_tts
+
+        t0 = time.perf_counter()
+        total = 0
+        timings = []
+        with wave.open(args.out, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(model.sr)
+            saw_audio = False
+            for i, chunk in enumerate(stream_tts(
+                    model, args.text, ref_audio, ref_transcript=transcript,
+                    cfg=cfg, seed=args.seed, seg_frames=args.seg_frames,
+                    ctx_frames=max(0, args.ctx_frames))):
+                pcm = float_to_pcm16(chunk.pcm)
+                w.writeframes(pcm.tobytes())
+                now = time.perf_counter() - t0
+                # first chunk with actual samples = first audio (tiny
+                # seg_frames < the vocode margin hold everything back at first)
+                if len(pcm) and not saw_audio:
+                    saw_audio = True
+                    print(f"time-to-first-audio {now:.2f}s "
+                          f"({len(pcm) / model.sr:.2f}s playable)")
+                    timings.append(dict(chunk.timing, ttfa_s=now))
+                else:
+                    timings.append(chunk.timing)
+                total += len(pcm)
+                print(f"segment {i}: frames [{chunk.frame_start},"
+                      f"{chunk.frame_end}) +{len(pcm) / model.sr:.2f}s "
+                      f"(stream {total / model.sr:.2f}s at t={now:.2f}s)")
+        print(f"wrote {args.out} ({total / model.sr:.2f}s)")
+        if args.timings:
+            print(json.dumps(timings))
+        return 0
 
     if args.stream:
         import time

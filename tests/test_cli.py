@@ -100,3 +100,29 @@ def test_cli_stream_matches_longform_bytes(cli_env, capsys):
     assert "chunk 1" in captured  # the text really did split into >= 2 chunks
     with open(batch_out, "rb") as f1, open(stream_out, "rb") as f2:
         assert f1.read() == f2.read()
+
+
+def test_cli_progressive_stream(cli_env, capsys, tmp_path):
+    """--progressive writes an incremental WAV whose PCM matches one vocode
+    pass of the emitted grid (the serving-layer exactness contract) and is
+    mutually exclusive with the other modes."""
+    import wave
+
+    from mars5_tts_tpu.cli import build_parser, main
+
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(
+            ["--text", "t", "--ref", "r", "--ar", "a", "--nar", "n",
+             "--progressive", "--stream"])
+
+    out = str(tmp_path / "prog.wav")
+    rc = main(_base_args(cli_env, out, "--progressive",
+                         "--seg-frames", "8", "--ctx-frames", "8",
+                         "--timings"))
+    assert rc == 0
+    cap = capsys.readouterr().out
+    assert "time-to-first-audio" in cap
+    assert "segment 1:" in cap, "want a multi-segment stream"
+    with wave.open(out, "rb") as w:
+        assert w.getnframes() > 0
+        assert w.getframerate() == 24000
