@@ -129,3 +129,27 @@ def test_bad_args_rejected(tiny):
     with pytest.raises(ValueError):
         next(stream_tts(tiny, "x", _ref_audio(), ref_transcript="",
                         cfg=_cfg(), seg_frames=0))
+
+
+def test_progressive_with_geometry_buckets(tiny):
+    """Progressive segments honor the serving geometry buckets: with
+    nar_gen_bucket set, every segment call pads its frame axis to the bucket
+    and crops back — the structural contracts (L0 lane = AR codes, exact
+    segment lengths) must hold unchanged."""
+    from mars5_tts_tpu.serving import progressive_tts
+
+    cfg = _cfg(deep_clone=False)
+    old = tiny.nar_gen_bucket, tiny.nar_text_bucket
+    tiny.nar_gen_bucket, tiny.nar_text_bucket = 16, 8
+    try:
+        grid, audio = progressive_tts(tiny, "bucketed stream", _ref_audio(),
+                                      ref_transcript="", cfg=cfg, seed=6,
+                                      seg_frames=8, ctx_frames=8)
+    finally:
+        tiny.nar_gen_bucket, tiny.nar_text_bucket = old
+    ar_codes, _ = tiny.tts("bucketed stream", _ref_audio(),
+                           ref_transcript="", cfg=cfg, seed=6)
+    want = np.asarray(ar_codes)
+    assert grid.shape == (len(want), 8)
+    np.testing.assert_array_equal(grid[:, 0], want)
+    assert len(audio) == len(grid) * tiny.vocos_cfg.hop_length
