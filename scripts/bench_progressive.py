@@ -40,7 +40,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 SEG = int(os.environ.get("PROG_SEG", "192"))
 CTX = int(os.environ.get("PROG_CTX", "192"))
 T = int(os.environ.get("PROG_T", "200"))
-TEXT = "The quick brown fox jumps over the lazy dog near the river bank today."
+_BASE = "The quick brown fox jumps over the lazy dog near the river bank today. "
+# PROG_TEXT_CHARS scales the utterance (~5 codec frames/char on runaway bench
+# weights) — e.g. 150 chars ≈ 750 gen frames = the 10-s production length,
+# where windowed segments' quadratic-attention savings beat the one-shot wall
+TEXT = (_BASE * 10)[: int(os.environ.get("PROG_TEXT_CHARS", str(len(_BASE) - 1)))].strip()
 MAXLEN_BUCKET = 256
 
 

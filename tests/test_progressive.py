@@ -38,6 +38,7 @@ def _cfg(**kw):
     return InferenceConfig(**kw)
 
 
+@pytest.mark.heavy
 def test_stream_grid_l0_is_ar_codes(tiny):
     from mars5_tts_tpu.serving import progressive_tts
 
@@ -80,6 +81,7 @@ def test_stream_pcm_matches_full_vocode_of_emitted_grid(tiny):
     np.testing.assert_allclose(stream_audio, full_audio, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.heavy
 def test_margin_zero_differs_at_boundaries(tiny):
     """Negative control: with no margin the conv state is NOT re-established,
     so boundary samples must differ from the full vocode — proving the margin
@@ -131,6 +133,7 @@ def test_bad_args_rejected(tiny):
                         cfg=_cfg(), seg_frames=0))
 
 
+@pytest.mark.heavy
 def test_progressive_with_geometry_buckets(tiny):
     """Progressive segments honor the serving geometry buckets: with
     nar_gen_bucket set, every segment call pads its frame axis to the bucket
