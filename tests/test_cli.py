@@ -102,6 +102,7 @@ def test_cli_stream_matches_longform_bytes(cli_env, capsys):
         assert f1.read() == f2.read()
 
 
+@pytest.mark.heavy
 def test_cli_progressive_stream(cli_env, capsys, tmp_path):
     """--progressive writes an incremental WAV whose PCM matches one vocode
     pass of the emitted grid (the serving-layer exactness contract) and is

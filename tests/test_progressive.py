@@ -102,6 +102,7 @@ def test_margin_zero_differs_at_boundaries(tiny):
     assert not np.allclose(stream_audio, full_audio, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.heavy
 def test_deep_clone_drops_regenerated_prompt_span(tiny):
     from mars5_tts_tpu.serving import stream_tts
 

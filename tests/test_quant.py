@@ -42,6 +42,7 @@ def test_quantized_codeclm_forward_close():
     assert (full.argmax(-1) == quant.argmax(-1)).mean() > 0.9
 
 
+@pytest.mark.heavy
 def test_quantized_decode_runs():
     from mars5_tts_tpu.models.ar import CodecLMConfig, init_codeclm
     from mars5_tts_tpu.models.ar_decode import ArSampling, ar_generate

@@ -159,9 +159,9 @@ def test_inverse_cdf_never_samples_masked():
     from mars5_tts_tpu.ops.sampling import NEG_INF, sample_from_logprobs
 
     rng = np.random.default_rng(11)
-    # 8 trials = 8 distinct random vocab widths (each width is a fresh XLA
+    # 6 trials = 6 distinct random vocab widths (each width is a fresh XLA
     # compile, the dominant cost); coverage was identical at 20 trials
-    for trial in range(8):
+    for trial in range(6):
         v = int(rng.integers(8, 2000))
         bs = int(rng.integers(1, 5))
         logits = rng.standard_normal((bs, v)).astype(np.float32) * 3
