@@ -50,7 +50,15 @@ from ..utils.profiling import StageTimer
 
 @dataclass
 class ProgressiveChunk:
-    """One emitted audio segment."""
+    """One emitted audio segment.
+
+    ``pcm`` may be shorter than ``grid`` implies (the last ``vocode_margin``
+    frames' samples are held back until the next segment supplies their
+    right-context) and may be empty for very small ``seg_frames``; the final
+    chunk flushes everything. ``timing`` is the CUMULATIVE stage report for
+    the whole request so far (AR + every segment to date), unlike
+    ``StreamChunk.timing`` which is per-text-chunk.
+    """
 
     pcm: np.ndarray          # float32 mono 24 kHz samples
     frame_start: int         # emitted-grid frame range [start, end)
@@ -105,6 +113,10 @@ def stream_tts(model, text: str, ref_audio, ref_transcript: Optional[str] = None
     cfg = cfg or InferenceConfig()
     if seg_frames < 1 or ctx_frames < 0 or vocode_margin < 0:
         raise ValueError("seg_frames >= 1, ctx_frames/vocode_margin >= 0")
+    if not keep_spk_prompt and ctx_frames == 0:
+        # segments past the first would have an EMPTY deep-clone prompt — no
+        # acoustic conditioning at all (and no continuity with emitted audio)
+        raise ValueError("keep_spk_prompt=False requires ctx_frames >= 1")
     timer = StageTimer()
     (text_tokens, prompt_codec, raw_prompt_acoustic_len,
      gen_codes_decoded) = model._synthesize_codes(

@@ -132,6 +132,10 @@ def test_bad_args_rejected(tiny):
     with pytest.raises(ValueError):
         next(stream_tts(tiny, "x", _ref_audio(), ref_transcript="",
                         cfg=_cfg(), seg_frames=0))
+    # no speaker prompt AND no tail context = empty deep-clone prompt past seg 0
+    with pytest.raises(ValueError):
+        next(stream_tts(tiny, "x", _ref_audio(), ref_transcript="",
+                        cfg=_cfg(), keep_spk_prompt=False, ctx_frames=0))
 
 
 @pytest.mark.heavy
