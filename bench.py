@@ -166,6 +166,20 @@ def run_once(cfgs, params, seed=0, timings=None):
     return timer.total
 
 
+def _tunnel_rt_s() -> float:
+    """Warm host->device->host round-trip for a 576 KB buffer (the encodec
+    upload size). ~0.04 s on a healthy tunnel; the tunnel transiently degrades
+    3-5x (CLAUDE.md r5 note) and this field lets a recorded bench number be
+    read against the tunnel health it was measured under."""
+    x = np.zeros(144_000, np.float32)
+    f = jax.jit(lambda a: a.sum())
+    float(f(jnp.asarray(x)))                      # compile + first transfer
+    t0 = time.perf_counter()
+    s = float(f(jnp.asarray(x)))
+    del s
+    return time.perf_counter() - t0
+
+
 def _main():
     cfgs, params = build()
     # warmup / compile
@@ -197,6 +211,7 @@ def _main():
         "detail": {"p50_total_s": round(p50, 3),
                    "stages_s": {k: round(v, 3) for k, v in stages_p50.items()},
                    "ar_mode": BENCH_AR, "nar_mode": BENCH_NAR,
+                   "tunnel_rt_s": round(_tunnel_rt_s(), 3),
                    "device": str(jax.devices()[0])},
     }))
 
