@@ -67,11 +67,17 @@ class ProgressiveChunk:
     timing: Optional[dict] = None
 
 
-def _segment_grid(model, text_tokens, prompt_codes, seg_l0, cfg, key):
-    """Denoise one segment as a deep-clone continuation.
+def _segment_grid(model, text_tokens, prompt_codes, seg_l0, cfg, key,
+                  continuation: bool = True):
+    """Denoise one segment.
 
-    prompt_codes: (P, 8) fully-known acoustic context (speaker prompt and/or
-    emitted tail); seg_l0: (S,) AR L0 ids for the segment.
+    prompt_codes: (P, 8) acoustic context (speaker prompt and/or emitted
+    tail); seg_l0: (S,) AR L0 ids for the segment. ``continuation=True``
+    treats the context as a fully-KNOWN deep-clone prefix (RePaint inpaints
+    the segment as its continuation); ``False`` uses it for speaker
+    conditioning only — segment 0 of a shallow-clone request, matching the
+    one-shot shallow semantics where generated audio does NOT acoustically
+    continue the reference.
     """
     c_text = np.asarray(text_tokens, np.int64)[None]
     c_codes = np.asarray(prompt_codes, np.int64)[None]
@@ -83,7 +89,7 @@ def _segment_grid(model, text_tokens, prompt_codes, seg_l0, cfg, key):
     T = cfg.timesteps or model.default_T
     diff = MultinomialDiffusion(model.diffusion_n_classes, timesteps=T)
     dsh = DSH(last_greedy=True, x_0_temp=cfg.x_0_temp,
-              guidance_w=cfg.nar_guidance_w, deep_clone=True,
+              guidance_w=cfg.nar_guidance_w, deep_clone=continuation,
               jump_len=1, jump_n_sample=1,
               q0_override_steps=cfg.q0_override_steps,
               enable_kevin_scaled_inference=True, progress=False,
@@ -143,8 +149,13 @@ def stream_tts(model, text: str, ref_audio, ref_transcript: Optional[str] = None
             if ctx_frames and len(emitted):
                 parts.append(emitted[-ctx_frames:])
             prompt_k = np.concatenate(parts, axis=0)
+            # segment 0 honors the request's clone mode: deep clone = the
+            # reference is a known RePaint prefix; shallow = speaker
+            # conditioning only (one-shot shallow semantics). Every later
+            # segment is a continuation of the emitted tail by construction.
             grid = _segment_grid(model, text_tokens, prompt_k, seg, cfg,
-                                 key=jax.random.key(seed + 1 + k, impl="rbg"))
+                                 key=jax.random.key(seed + 1 + k, impl="rbg"),
+                                 continuation=cfg.deep_clone or k > 0)
         emitted = np.concatenate([emitted, grid], axis=0)
         last = k == len(starts) - 1
         with timer.stage(f"vocode_seg{k}"):

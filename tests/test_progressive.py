@@ -116,6 +116,7 @@ def test_deep_clone_drops_regenerated_prompt_span(tiny):
     assert total == len(np.asarray(ar_codes)) - skip
 
 
+@pytest.mark.heavy
 def test_single_segment_covers_everything(tiny):
     from mars5_tts_tpu.serving import progressive_tts
 
@@ -161,3 +162,22 @@ def test_progressive_with_geometry_buckets(tiny):
     assert grid.shape == (len(want), 8)
     np.testing.assert_array_equal(grid[:, 0], want)
     assert len(audio) == len(grid) * tiny.vocos_cfg.hop_length
+
+
+def test_single_segment_shallow_degenerates_to_oneshot(tiny):
+    """With one segment covering the whole utterance, a shallow-clone
+    progressive run has EXACTLY the one-shot call geometry (c_codes = speaker
+    prompt for conditioning only, x = all gen frames, same NAR key seed+1) —
+    so its audio must equal tts()'s (trim disabled via trim_db=200)."""
+    from mars5_tts_tpu.serving import progressive_tts
+
+    cfg = _cfg(deep_clone=False)
+    grid, audio = progressive_tts(tiny, "same trajectory", _ref_audio(),
+                                  ref_transcript="", cfg=cfg, seed=9,
+                                  seg_frames=10_000)
+    _, ref_audio_out = tiny.tts("same trajectory", _ref_audio(),
+                                ref_transcript="", cfg=cfg, seed=9)
+    n = min(len(audio), len(ref_audio_out))
+    assert n > 0 and abs(len(audio) - len(ref_audio_out)) < 2 * tiny.vocos_cfg.hop_length
+    np.testing.assert_allclose(audio[:n], np.asarray(ref_audio_out)[:n],
+                               atol=1e-6, rtol=1e-5)
